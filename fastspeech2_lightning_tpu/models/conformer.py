@@ -1,0 +1,164 @@
+"""Conformer encoder/decoder blocks.
+
+Same architecture as the reference's torchaudio.models.Conformer
+(fs2/model.py:95-119): per layer — half-step FFN, multi-head self-attention,
+convolution module (pointwise→GLU→depthwise→norm→SiLU→pointwise), half-step
+FFN, final LayerNorm. Differences, deliberate and TPU-motivated:
+
+ - activations are [B, T, C] end-to-end (NWC convs; no NCW transposes)
+ - padded positions are zero-masked before the conv module and excluded from
+   batch-norm statistics, so layer outputs are invariant to bucket padding —
+   a requirement for static length-bucketed compilation (the reference's
+   conv module lets padding bleed into edge frames)
+ - attention uses one fused qkv projection (one MXU matmul instead of three)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over [B, T, C] computing statistics only on valid frames."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask, use_running_average: bool):
+        C = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(C))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(C))
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            m = mask[:, :, None].astype(x.dtype)
+            count = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(x * m, axis=(0, 1)) / count
+            var = jnp.sum(((x - mean) ** 2) * m, axis=(0, 1)) / count
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+class FeedForwardModule(nn.Module):
+    ffn_dim: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        d = x.shape[-1]
+        x = nn.LayerNorm(name="norm")(x)
+        x = nn.Dense(self.ffn_dim, name="linear1")(x)
+        x = nn.silu(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = nn.Dense(d, name="linear2")(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return x
+
+
+class SelfAttentionModule(nn.Module):
+    num_heads: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool):
+        # mask: [B, T] valid-position mask -> attention bias on keys
+        B, T, d = x.shape
+        h = self.num_heads
+        dh = d // h
+        x = nn.LayerNorm(name="norm")(x)
+        qkv = nn.Dense(3 * d, name="qkv")(x)  # fused projection
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, T, h, dh)
+        k = k.reshape(B, T, h, dh)
+        v = v.reshape(B, T, h, dh)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(dh).astype(x.dtype)
+        bias = jnp.where(mask[:, None, None, :], 0.0, -1e9).astype(scores.dtype)
+        weights = nn.softmax(scores + bias, axis=-1)
+        weights = nn.Dropout(self.dropout, deterministic=deterministic)(weights)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(B, T, d)
+        out = nn.Dense(d, name="out")(out)
+        out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        return out
+
+
+class ConvolutionModule(nn.Module):
+    kernel_size: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool):
+        d = x.shape[-1]
+        x = nn.LayerNorm(name="norm")(x)
+        x = nn.Dense(2 * d, name="pointwise1")(x)
+        x = nn.glu(x, axis=-1)
+        # keep padding out of the depthwise receptive field
+        x = x * mask[:, :, None].astype(x.dtype)
+        x = nn.Conv(
+            features=d,
+            kernel_size=(self.kernel_size,),
+            padding="SAME",
+            feature_group_count=d,
+            name="depthwise",
+        )(x)
+        x = MaskedBatchNorm(name="bn")(x, mask, use_running_average=deterministic)
+        x = nn.silu(x)
+        x = nn.Dense(d, name="pointwise2")(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return x
+
+
+class ConformerLayer(nn.Module):
+    num_heads: int
+    ffn_dim: int
+    conv_kernel_size: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        x = x + 0.5 * FeedForwardModule(self.ffn_dim, self.dropout, name="ffn1")(
+            x, deterministic
+        )
+        x = x + SelfAttentionModule(self.num_heads, self.dropout, name="attn")(
+            x, mask, deterministic
+        )
+        x = x + ConvolutionModule(self.conv_kernel_size, self.dropout, name="conv")(
+            x, mask, deterministic
+        )
+        x = x + 0.5 * FeedForwardModule(self.ffn_dim, self.dropout, name="ffn2")(
+            x, deterministic
+        )
+        x = nn.LayerNorm(name="final_norm")(x)
+        return x
+
+
+class Conformer(nn.Module):
+    """Stack of ConformerLayers over [B, T, C] with a [B, T] validity mask."""
+
+    num_layers: int
+    num_heads: int
+    ffn_dim: int
+    conv_kernel_size: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        for i in range(self.num_layers):
+            x = ConformerLayer(
+                num_heads=self.num_heads,
+                ffn_dim=self.ffn_dim,
+                conv_kernel_size=self.conv_kernel_size,
+                dropout=self.dropout,
+                name=f"layer_{i}",
+            )(x, mask, deterministic)
+        return x * mask[:, :, None].astype(x.dtype)

@@ -1,0 +1,141 @@
+"""Shared neural layers: positional embedding, variance conv stacks, PostNet.
+
+Behavioral parity with fs2/layers.py and fs2/blocks.py, expressed as
+flax.linen modules over [B, T, C] activations (TPU layout: time × feature
+stays in the two minor dimensions, convs are NWC so XLA maps them onto the
+MXU without transposes — unlike the reference's NCW + permute pattern)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def fastpitch_positional_embedding(
+    positions: jnp.ndarray, dim: int, dtype=jnp.float32
+) -> jnp.ndarray:
+    """FastPitch-style sinusoidal embedding (fs2/layers.py:123-140).
+
+    positions: [T] float -> [T, dim]; layout is [sin(all freqs), cos(all
+    freqs)] concatenated (NOT interleaved), matching the reference."""
+    half = (dim + 1) // 2
+    inv_freq = 1.0 / (10000 ** (jnp.arange(0.0, dim, 2.0) / dim))
+    sinusoid = positions[:, None] * inv_freq[None, :]  # [T, half]
+    emb = jnp.concatenate([jnp.sin(sinusoid), jnp.cos(sinusoid)], axis=1)
+    return emb[:, :dim].astype(dtype)
+
+
+class DepthwiseSeparableConv1d(nn.Module):
+    """Depthwise conv + pointwise conv (fs2/blocks.py:4-19)."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        x = nn.Conv(
+            features=in_ch,
+            kernel_size=(self.kernel_size,),
+            padding="SAME",
+            feature_group_count=in_ch,
+            name="depthwise",
+        )(x)
+        x = nn.Conv(features=self.features, kernel_size=(1,), name="pointwise")(x)
+        return x
+
+
+class VarianceConvolutionLayer(nn.Module):
+    """Conv (plain or depthwise-separable) + ReLU + LayerNorm + Dropout
+    (fs2/layers.py:20-48)."""
+
+    features: int
+    kernel_size: int
+    dropout: float
+    depthwise: bool
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if self.depthwise:
+            x = DepthwiseSeparableConv1d(self.features, self.kernel_size)(x)
+        else:
+            x = nn.Conv(
+                features=self.features,
+                kernel_size=(self.kernel_size,),
+                padding="SAME",
+            )(x)
+        x = nn.relu(x)
+        x = nn.LayerNorm()(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return x
+
+
+class VariancePredictor(nn.Module):
+    """N conv layers + linear scalar head (fs2/variance_adaptor.py:18-62)."""
+
+    n_layers: int = 5
+    n_channels: int = 384
+    output_dim: int = 1
+    kernel_size: int = 5
+    dropout_rate: float = 0.1
+    depthwise: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        for i in range(self.n_layers):
+            x = VarianceConvolutionLayer(
+                features=self.n_channels,
+                kernel_size=self.kernel_size,
+                dropout=self.dropout_rate,
+                depthwise=self.depthwise,
+                name=f"conv_{i}",
+            )(x, deterministic=deterministic)
+        out = nn.Dense(self.output_dim, name="linear")(x)
+        out = jnp.squeeze(out, axis=-1)
+        if mask is not None:
+            out = out * mask.astype(out.dtype)
+        return out
+
+
+class PostNet(nn.Module):
+    """Five 1-d convolutions with 512 channels, kernel 5, tanh + BatchNorm,
+    dropout 0.5 (fs2/layers.py:143-212). Residual is added by the caller."""
+
+    n_mel_channels: int = 80
+    postnet_embedding_dim: int = 512
+    postnet_kernel_size: int = 5
+    postnet_n_convolutions: int = 5
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, deterministic: bool = True, use_running_average=None
+    ) -> jnp.ndarray:
+        if use_running_average is None:
+            use_running_average = deterministic
+        n = self.postnet_n_convolutions
+        for i in range(n):
+            last = i == n - 1
+            features = self.n_mel_channels if last else self.postnet_embedding_dim
+            x = nn.Conv(
+                features=features,
+                kernel_size=(self.postnet_kernel_size,),
+                padding="SAME",
+                name=f"conv_{i}",
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=use_running_average,
+                momentum=0.9,
+                epsilon=1e-5,
+                name=f"bn_{i}",
+            )(x)
+            if not last:
+                x = jnp.tanh(x)
+            x = nn.Dropout(0.5, deterministic=deterministic)(x)
+        return x

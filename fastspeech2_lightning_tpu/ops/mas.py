@@ -1,0 +1,141 @@
+"""Monotonic alignment search (MAS), width 1, fully on device.
+
+The reference binarizes soft attention by copying it to the host and running a
+numba DP kernel per batch item every training step
+(fs2/variance_adaptor.py:160-181 + fs2/attn/alignment.py:48-74). Here the same
+width-1 Viterbi recurrence runs as two `lax.scan`s on the TPU — a forward scan
+over mel frames carrying the DP row [B, L], and a reverse backtrack scan
+carrying the current text index [B] — so training never leaves the device.
+
+Recurrence (identical to the reference numba kernel `mas_width1`):
+    log_p[0, 0] = log_attn[0, 0];  log_p[0, j>0] = -inf
+    log_p[i, j] = log_attn[i, j] + max(log_p[i-1, j-1], log_p[i-1, j])
+Backtrack from (T-1, L-1): step to j-1 iff log_p[i-1, j-1] >= log_p[i-1, j].
+
+A NumPy golden implementation (`mas_width1_numpy`) and an optional C++/OpenMP
+host kernel (fastspeech2_lightning_tpu.native) cross-check the scan version.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e9  # finite "minus infinity": avoids NaN from (-inf)-(-inf) paths
+
+
+def _forward_logp(log_attn: jnp.ndarray) -> jnp.ndarray:
+    """DP table via scan over mel frames. log_attn: [B, T, L] -> log_p [B, T, L]."""
+    B, T, L = log_attn.shape
+    first = log_attn[:, 0, :] + jnp.where(
+        jnp.arange(L)[None, :] == 0, 0.0, NEG_INF
+    )
+
+    def step(prev_row, frame):
+        # prev_row: [B, L]; frame: [B, L]
+        shifted = jnp.concatenate(
+            [jnp.full((B, 1), NEG_INF, prev_row.dtype), prev_row[:, :-1]], axis=1
+        )
+        row = frame + jnp.maximum(prev_row, shifted)
+        row = jnp.maximum(row, NEG_INF)  # keep finite
+        return row, row
+
+    _, rest = jax.lax.scan(step, first, jnp.swapaxes(log_attn, 0, 1)[1:])
+    return jnp.concatenate([first[:, None, :], jnp.swapaxes(rest, 0, 1)], axis=1)
+
+
+def _backtrack(log_p: jnp.ndarray, in_lens: jnp.ndarray, out_lens: jnp.ndarray):
+    """Reverse scan producing the path text-index per mel frame: [B, T] int32.
+
+    Frames at i >= out_len hold j = in_len-1 so the true path starts at
+    (out_len-1, in_len-1); those frames are masked out of the output."""
+    B, T, L = log_p.shape
+    j_init = (in_lens - 1).astype(jnp.int32)  # [B]
+
+    def step(j, idx):
+        # moving from row i=idx down to i-1; records path at row idx
+        i = idx
+        active = (i > 0) & (i < out_lens)  # may move when previous row is valid
+        jm1 = jnp.maximum(j - 1, 0)
+        prev_row = log_p[:, jnp.maximum(i - 1, 0), :]  # [B, L]
+        left = jnp.take_along_axis(prev_row, jm1[:, None], axis=1)[:, 0]
+        stay = jnp.take_along_axis(prev_row, j[:, None], axis=1)[:, 0]
+        dec = active & (j > 0) & (left >= stay)
+        j_next = jnp.where(dec, j - 1, j)
+        return j_next, j
+
+    idxs = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+    _, path_rev = jax.lax.scan(step, j_init, idxs)
+    return jnp.flip(jnp.swapaxes(path_rev, 0, 1), axis=1)  # [B, T]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def mas_width1_batched(
+    log_attn: jnp.ndarray, in_lens: jnp.ndarray, out_lens: jnp.ndarray
+):
+    """Batched on-device MAS.
+
+    Args:
+      log_attn: [B, T_mel, L_text] log attention (any padding contents).
+      in_lens:  [B] valid text lengths.
+      out_lens: [B] valid mel lengths.
+    Returns:
+      attn_hard: [B, T_mel, L_text] float32 one-hot path, zero outside valid
+        frames; durations: [B, L_text] int32 column sums.
+    """
+    B, T, L = log_attn.shape
+    log_attn = log_attn.astype(jnp.float32)
+    j_ids = jnp.arange(L)[None, None, :]
+    i_ids = jnp.arange(T)[None, :, None]
+    valid = (j_ids < in_lens[:, None, None]) & (i_ids < out_lens[:, None, None])
+    log_attn = jnp.where(valid, jnp.maximum(log_attn, NEG_INF), NEG_INF)
+
+    log_p = _forward_logp(log_attn)
+    path = _backtrack(log_p, in_lens, out_lens)  # [B, T]
+
+    frame_valid = jnp.arange(T)[None, :] < out_lens[:, None]
+    onehot = jax.nn.one_hot(path, L, dtype=jnp.float32)
+    attn_hard = onehot * frame_valid[:, :, None]
+    durations = jnp.sum(attn_hard, axis=1).astype(jnp.int32)
+    return attn_hard, durations
+
+
+# ---------------------------------------------------------------------------
+# Golden host implementation (same recurrence, NumPy)
+# ---------------------------------------------------------------------------
+
+
+def mas_width1_numpy(log_attn_map: np.ndarray) -> np.ndarray:
+    """Single-item host MAS, identical recurrence to the reference kernel."""
+    log_p = log_attn_map.astype(np.float64).copy()
+    T, L = log_p.shape
+    log_p[0, 1:] = -np.inf
+    for i in range(1, T):
+        prev = log_p[i - 1]
+        shifted = np.empty_like(prev)
+        shifted[0] = -np.inf
+        shifted[1:] = prev[:-1]
+        log_p[i] += np.maximum(prev, shifted)
+
+    opt = np.zeros_like(log_p, dtype=np.float32)
+    j = L - 1
+    for i in range(T - 1, 0, -1):
+        opt[i, j] = 1.0
+        if j > 0 and log_p[i - 1, j - 1] >= log_p[i - 1, j]:
+            j -= 1
+    opt[0, j] = 1.0
+    return opt
+
+
+def b_mas_numpy(
+    b_log_attn: np.ndarray, in_lens: np.ndarray, out_lens: np.ndarray
+) -> np.ndarray:
+    """Batched host MAS over padded [B, T, L] input."""
+    out = np.zeros_like(b_log_attn, dtype=np.float32)
+    for b in range(b_log_attn.shape[0]):
+        t, l = int(out_lens[b]), int(in_lens[b])
+        out[b, :t, :l] = mas_width1_numpy(b_log_attn[b, :t, :l])
+    return out
