@@ -1,0 +1,413 @@
+"""Dataset + static-shape batching.
+
+Re-provides the reference's data layer (fs2/dataset.py): per-utterance
+artifact loading by the `{basename}--{speaker}--{language}--{artifact}` naming
+scheme, collation, and train/val/predict loaders — redesigned for XLA:
+
+ - **Length buckets, not dynamic padding.** The reference pads every batch to
+   its own max (fs2/dataset.py:257-293), so every batch is a new shape — fine
+   for eager CUDA, hostile to jit. Here utterances are grouped into a small
+   set of (text_len, mel_len) buckets chosen from corpus quantiles; each
+   bucket is one compiled program.
+ - Batches are plain numpy dicts; the jitted step receives identical shapes
+   every step of a bucket.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .config import (
+    FastSpeech2Config,
+    TargetTrainingTextRepresentationLevel,
+)
+from .preprocessing.pipeline import SEP
+from .text import TextProcessor, LookupTable
+from .utils import load_filelist
+
+PAD_MULT_TEXT = 16
+PAD_MULT_MEL = 32
+
+
+class FastSpeechDataset:
+    """Loads per-utterance artifacts (parity with FastSpeechDataset,
+    fs2/dataset.py:26-231)."""
+
+    def __init__(
+        self,
+        items: List[dict],
+        config: FastSpeech2Config,
+        lang2id: LookupTable,
+        speaker2id: LookupTable,
+        teacher_forcing: bool = False,
+        inference: bool = False,
+        style_reference: bool = False,
+    ):
+        self.items = items
+        self.config = config
+        self.preprocessed_dir = Path(config.preprocessing.save_dir)
+        self.text_processor = TextProcessor(config.text)
+        self.lang2id = lang2id
+        self.speaker2id = speaker2id
+        self.teacher_forcing = teacher_forcing
+        self.inference = inference
+        self.style_reference = style_reference
+        self.sampling_rate = config.preprocessing.audio.input_sampling_rate
+
+    def __len__(self):
+        return len(self.items)
+
+    def _load(self, bn, spk, lang, kind, fn) -> np.ndarray:
+        return np.load(
+            self.preprocessed_dir / kind / SEP.join([bn, spk, lang, fn]),
+            allow_pickle=False,
+        )
+
+    def _encode_text(self, item: dict) -> np.ndarray:
+        level = self.config.model.target_text_representation_level
+        if level == TargetTrainingTextRepresentationLevel.characters:
+            key = "character_tokens"
+        else:
+            key = "phone_tokens"
+        if item.get(key):
+            ids = self.text_processor.encode_escaped_string_sequence(item[key])
+        else:
+            text = item.get("characters") or item.get("text") or ""
+            ids = self.text_processor.encode_text(text)
+        return np.asarray(ids, dtype=np.int32)
+
+    def __getitem__(self, index: int) -> dict:
+        item = self.items[index]
+        speaker = item.get("speaker") or "default"
+        language = item.get("language") or "default"
+        basename = item["basename"]
+        speaker_id = self.speaker2id.get(speaker, 0)
+        language_id = self.lang2id.get(language, 0)
+
+        loaded: Dict[str, object] = {
+            "basename": basename,
+            "speaker": speaker,
+            "speaker_id": speaker_id,
+            "language": language,
+            "language_id": language_id,
+            "raw_text": item.get("characters") or item.get("text") or "",
+            "duration_control": float(item.get("duration_control") or 1.0),
+            "is_last_input_chunk": bool(item.get("is_last_input_chunk", True)),
+        }
+
+        loaded["text"] = self._encode_text(item)
+
+        load_targets = self.teacher_forcing or not self.inference
+        if load_targets:
+            a = self.config.preprocessing.audio
+            mel = self._load(
+                basename, speaker, language, "spec",
+                f"spec-{self.sampling_rate}-{a.spec_type}.npy",
+            ).T  # [n_mels, T] -> [T, n_mels]
+            loaded["mel"] = mel.astype(np.float32)
+            if self.config.model.learn_alignment:
+                level = self.config.model.target_text_representation_level
+                rep = (
+                    "characters"
+                    if level == TargetTrainingTextRepresentationLevel.characters
+                    else "phones"
+                )
+                loaded["attn_prior"] = self._load(
+                    basename, speaker, language, "attn", f"{rep}-attn-prior.npy"
+                ).astype(np.float32)
+            else:
+                try:
+                    loaded["duration"] = self._load(
+                        basename, speaker, language, "duration", "duration.npy"
+                    ).astype(np.int32)
+                except FileNotFoundError as e:
+                    raise FileNotFoundError(
+                        "model.learn_alignment=false requires precomputed "
+                        "durations under preprocessed/duration "
+                        "(fs2/dataset.py:144-152 semantics)."
+                    ) from e
+        if not self.inference:
+            loaded["energy"] = self._load(
+                basename, speaker, language, "energy", "energy.npy"
+            ).astype(np.float32)
+            loaded["pitch"] = self._load(
+                basename, speaker, language, "pitch", "pitch.npy"
+            ).astype(np.float32)
+            if (
+                self.config.model.target_text_representation_level
+                == TargetTrainingTextRepresentationLevel.phonological_features
+            ):
+                loaded["pfs"] = self._load(
+                    basename, speaker, language, "pfs", "pfs.npy"
+                ).astype(np.float32)
+        if self.style_reference and "mel_style_reference" in item:
+            loaded["mel_style_reference"] = item["mel_style_reference"]
+        return loaded
+
+
+# ---------------------------------------------------------------------------
+# Collation to static shapes
+# ---------------------------------------------------------------------------
+
+
+def _round_up(n: int, mult: int) -> int:
+    return max(mult, int(math.ceil(n / mult)) * mult)
+
+
+def collate(
+    samples: List[dict],
+    pad_text_to: Optional[int] = None,
+    pad_mel_to: Optional[int] = None,
+    learn_alignment: bool = True,
+) -> dict:
+    """Pad a list of per-utterance dicts into one fixed-shape numpy batch
+    (collate_method parity, fs2/dataset.py:257-293, plus static bucket pads)."""
+    B = len(samples)
+    src_lens = np.array([s["text"].shape[0] for s in samples], dtype=np.int32)
+    L = pad_text_to or int(src_lens.max())
+    has_mel = samples[0].get("mel") is not None
+    if has_mel:
+        mel_lens = np.array([s["mel"].shape[0] for s in samples], dtype=np.int32)
+        T = pad_mel_to or int(mel_lens.max())
+        n_mels = samples[0]["mel"].shape[1]
+    else:
+        mel_lens = None
+        T = pad_mel_to  # may be None at pure inference
+
+    batch: Dict[str, object] = {
+        "src_lens": src_lens,
+        "mel_lens": mel_lens,
+        "max_src_len": L,
+        "max_mel_len": T,
+        "basename": [s["basename"] for s in samples],
+        "speaker": [s["speaker"] for s in samples],
+        "language": [s["language"] for s in samples],
+        "raw_text": [s["raw_text"] for s in samples],
+        "speaker_id": np.array([s["speaker_id"] for s in samples], dtype=np.int32),
+        "language_id": np.array([s["language_id"] for s in samples], dtype=np.int32),
+        "duration_control": np.array(
+            [s.get("duration_control", 1.0) for s in samples], dtype=np.float32
+        ),
+        "is_last_input_chunk": [s.get("is_last_input_chunk", True) for s in samples],
+    }
+
+    text = np.zeros((B, L), dtype=np.int32)
+    for i, s in enumerate(samples):
+        text[i, : src_lens[i]] = s["text"][:L]
+    batch["text"] = text
+
+    if has_mel:
+        mel = np.zeros((B, T, n_mels), dtype=np.float32)
+        for i, s in enumerate(samples):
+            mel[i, : mel_lens[i]] = s["mel"][:T]
+        batch["mel"] = mel
+
+    for key in ("pitch", "energy"):
+        if samples[0].get(key) is not None:
+            # frame-level targets (always the case when alignment is learned,
+            # fs2/variance_adaptor.py:269-278) pad to T; phone-level to L
+            is_frame = learn_alignment or (
+                has_mel
+                and any(
+                    abs(s[key].shape[0] - ml) <= 1
+                    for s, ml in zip(samples, mel_lens)
+                )
+            )
+            W = (T if T else L) if is_frame else L
+            arr = np.zeros((B, W), dtype=np.float32)
+            for i, s in enumerate(samples):
+                n = min(s[key].shape[0], W)
+                arr[i, :n] = s[key][:n]
+            batch[key] = arr
+
+    if samples[0].get("attn_prior") is not None:
+        prior = np.zeros((B, T, L), dtype=np.float32)
+        for i, s in enumerate(samples):
+            p = s["attn_prior"]
+            prior[i, : min(p.shape[0], T), : min(p.shape[1], L)] = p[:T, :L]
+        batch["attn_prior"] = prior
+
+    if samples[0].get("duration") is not None:
+        dur = np.zeros((B, L), dtype=np.int32)
+        for i, s in enumerate(samples):
+            d = s["duration"]
+            dur[i, : min(d.shape[0], L)] = d[:L]
+        batch["duration"] = dur
+
+    if samples[0].get("pfs") is not None:
+        nf = samples[0]["pfs"].shape[1]
+        pfs = np.zeros((B, L, nf), dtype=np.float32)
+        for i, s in enumerate(samples):
+            p = s["pfs"]
+            pfs[i, : min(p.shape[0], L)] = p[:L]
+        batch["pfs"] = pfs
+
+    if samples[0].get("mel_style_reference") is not None:
+        refs = [np.asarray(s["mel_style_reference"]) for s in samples]
+        TR = max(r.shape[0] for r in refs)
+        ref = np.zeros((B, TR, refs[0].shape[1]), dtype=np.float32)
+        for i, r in enumerate(refs):
+            ref[i, : r.shape[0]] = r
+        batch["mel_style_reference"] = ref
+
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# Bucketed loader
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Bucket:
+    max_text: int
+    max_mel: int
+    indices: List[int] = field(default_factory=list)
+
+
+class BucketedLoader:
+    """Groups a dataset into a small set of static (text, mel) shapes and
+    yields shuffled fixed-shape batches.
+
+    Per-epoch iteration: shuffle within buckets, emit full batches; the last
+    partial batch of each bucket is padded by repeating items (masked items
+    contribute loss like any other — the repeat just keeps shapes static; set
+    drop_last to skip instead)."""
+
+    def __init__(
+        self,
+        dataset: FastSpeechDataset,
+        batch_size: int,
+        n_buckets: int = 4,
+        seed: int = 0,
+        drop_last: bool = False,
+        use_weighted_sampler: bool = False,
+        max_mel_length: Optional[int] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+        self.use_weighted_sampler = use_weighted_sampler
+
+        # measure lengths from artifacts (text from tokens; mel from spec shape)
+        text_lens, mel_lens = [], []
+        for i in range(len(dataset)):
+            item = dataset.items[i]
+            tl = len((item.get("character_tokens") or "").split("/")) or 1
+            if not item.get("character_tokens"):
+                tl = len(dataset._encode_text(item))
+            text_lens.append(tl)
+            a = dataset.config.preprocessing.audio
+            spec_path = (
+                dataset.preprocessed_dir
+                / "spec"
+                / SEP.join(
+                    [
+                        item["basename"],
+                        item.get("speaker") or "default",
+                        item.get("language") or "default",
+                        f"spec-{a.input_sampling_rate}-{a.spec_type}.npy",
+                    ]
+                )
+            )
+            if spec_path.exists():
+                # header-only read: np.load with mmap to avoid full IO
+                shape = np.load(spec_path, mmap_mode="r").shape
+                mel_lens.append(shape[1])
+            else:
+                mel_lens.append(0)
+        self.text_lens = np.array(text_lens)
+        self.mel_lens = np.array(mel_lens)
+
+        # quantile bucket edges on mel length
+        qs = np.linspace(0, 1, n_buckets + 1)[1:]
+        edges = np.unique(np.quantile(self.mel_lens, qs).astype(int))
+        self.buckets: List[Bucket] = []
+        lo = -1
+        for edge in edges:
+            sel = np.where((self.mel_lens > lo) & (self.mel_lens <= edge))[0]
+            if len(sel) == 0:
+                continue
+            mt = _round_up(int(self.text_lens[sel].max()), PAD_MULT_TEXT)
+            mm = _round_up(int(self.mel_lens[sel].max()), PAD_MULT_MEL)
+            if max_mel_length:
+                mm = min(mm, max_mel_length)
+            self.buckets.append(Bucket(mt, mm, list(sel)))
+            lo = edge
+
+    def __len__(self):
+        n = 0
+        for b in self.buckets:
+            if self.drop_last:
+                n += len(b.indices) // self.batch_size
+            else:
+                n += math.ceil(len(b.indices) / self.batch_size)
+        return n
+
+    def _weights(self, indices: Sequence[int]) -> np.ndarray:
+        """Inverse-frequency weights over (language, speaker) classes
+        (use_weighted_sampler parity)."""
+        keys = [
+            (
+                self.dataset.items[i].get("language") or "default",
+                self.dataset.items[i].get("speaker") or "default",
+            )
+            for i in indices
+        ]
+        from collections import Counter
+
+        counts = Counter(keys)
+        w = np.array([1.0 / counts[k] for k in keys])
+        return w / w.sum()
+
+    def __iter__(self) -> Iterator[dict]:
+        order_per_bucket = []
+        for b in self.buckets:
+            idx = np.array(b.indices)
+            if self.use_weighted_sampler and len(idx) > 0:
+                idx = self.rng.choice(
+                    idx, size=len(idx), replace=True, p=self._weights(b.indices)
+                )
+            else:
+                idx = self.rng.permutation(idx)
+            order_per_bucket.append(idx)
+
+        batches = []
+        for b, idx in zip(self.buckets, order_per_bucket):
+            for start in range(0, len(idx), self.batch_size):
+                chunk = idx[start : start + self.batch_size]
+                if len(chunk) < self.batch_size:
+                    if self.drop_last or len(chunk) == 0:
+                        continue
+                    reps = self.rng.choice(idx, self.batch_size - len(chunk))
+                    chunk = np.concatenate([chunk, reps])
+                batches.append((b, chunk))
+        self.rng.shuffle(batches)
+
+        for b, chunk in batches:
+            samples = [self.dataset[int(i)] for i in chunk]
+            yield collate(
+                samples,
+                pad_text_to=b.max_text,
+                pad_mel_to=b.max_mel,
+                learn_alignment=self.dataset.config.model.learn_alignment,
+            )
+
+
+def load_datasets(
+    config: FastSpeech2Config,
+    lang2id: LookupTable,
+    speaker2id: LookupTable,
+):
+    """(train_dataset, val_dataset) from the config's filelists."""
+    train_items = load_filelist(config.training.training_filelist)
+    val_items = load_filelist(config.training.validation_filelist)
+    train = FastSpeechDataset(train_items, config, lang2id, speaker2id)
+    val = FastSpeechDataset(val_items, config, lang2id, speaker2id)
+    return train, val

@@ -53,8 +53,12 @@ class FastSpeech2(nn.Module):
                 self.n_symbols, d, name="text_input_layer"
             )
         if mcfg.use_global_style_token_module:
+            # style embedding is added to encoder output, so its width must be
+            # the encoder width (the reference's 256 default == its encoder dim)
             self.gst = StyleEncoder(
-                idim=self.config.preprocessing.audio.n_mels, name="gst"
+                idim=self.config.preprocessing.audio.n_mels,
+                gst_token_dim=d,
+                name="gst",
             )
         self.encoder = Conformer(
             num_layers=mcfg.encoder.layers,

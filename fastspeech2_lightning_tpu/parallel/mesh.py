@@ -1,0 +1,142 @@
+"""Device mesh + sharding layout.
+
+The reference's distributed story is Lightning DDP over NCCL (SURVEY.md §2.4).
+The TPU-native equivalent: a `jax.sharding.Mesh(("data", "model"))` over
+ICI/DCN, batches sharded on the data axis, parameters replicated by default
+with the wide Conformer FFN / attention / embedding matrices optionally sharded
+on the model axis (tensor parallelism). All collectives (gradient psum under
+`jax.grad` of a data-sharded loss, all-gathers for model-sharded matmuls) are
+inserted by XLA GSPMD from these annotations — no explicit communication code.
+
+Multi-host: call `jax.distributed.initialize()` before `make_mesh()`; the same
+code paths then span hosts (DCN between slices)."""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, model_parallel: int = 1
+) -> Mesh:
+    """Build a (data, model) mesh over the available devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    arr = np.array(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_pspec(batch: dict) -> dict:
+    """PartitionSpec tree for a batch: leading (batch) axis on 'data'."""
+    def spec(x):
+        if x is None or not hasattr(x, "ndim") or x.ndim == 0:
+            return P()
+        return P("data", *([None] * (x.ndim - 1)))
+
+    return jax.tree_util.tree_map(spec, batch)
+
+
+# Model-axis tensor-parallel layout for the big matmuls. Megatron-style
+# pairing: first FFN projection column-sharded, second row-sharded; fused qkv
+# column-sharded (head dim), attention output row-sharded.
+_PARAM_RULES: list[tuple[str, P]] = [
+    (r".*ffn\d/linear1/kernel$", P(None, "model")),
+    (r".*ffn\d/linear1/bias$", P("model")),
+    (r".*ffn\d/linear2/kernel$", P("model", None)),
+    (r".*attn/qkv/kernel$", P(None, "model")),
+    (r".*attn/qkv/bias$", P("model")),
+    (r".*attn/out/kernel$", P("model", None)),
+    (r".*text_input_layer/embedding$", P(None, "model")),
+]
+
+
+def param_pspec_tree(params) -> dict:
+    """PartitionSpec tree for params: rules above, else fully replicated."""
+
+    def spec_for(path: str, leaf) -> P:
+        for pattern, pspec in _PARAM_RULES:
+            if re.match(pattern, path):
+                # only shard when the dimension divides evenly; checked later
+                return pspec
+        return P()
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    specs = []
+    for path, leaf in flat:
+        path_str = "/".join(
+            p.key if hasattr(p, "key") else str(p) for p in path
+        )
+        specs.append(spec_for(path_str, leaf))
+    return jax.tree_util.tree_unflatten(treedef, specs)
+
+
+def _validated_spec(spec: P, leaf, mesh: Mesh) -> P:
+    """Drop model-axis sharding for dims that don't divide evenly."""
+    if spec == P():
+        return spec
+    dims = list(spec)
+    for i, axis in enumerate(dims):
+        if axis is None:
+            continue
+        size = mesh.shape[axis]
+        if i >= leaf.ndim or leaf.shape[i] % size != 0:
+            return P()
+    return spec
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    specs = batch_pspec(batch)
+
+    def put(x, spec):
+        if x is None:
+            return None
+        spec = _validated_spec(spec, x, mesh)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, batch, specs)
+
+
+def shard_state(state, mesh: Mesh):
+    """Place a TrainState on the mesh: params/opt_state per the rules
+    (model-sharded where divisible), everything else replicated."""
+    pspecs = param_pspec_tree(state.params)
+
+    def put_param(x, spec):
+        spec = _validated_spec(spec, x, mesh)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    params = jax.tree_util.tree_map(put_param, state.params, pspecs)
+
+    def put_repl(x):
+        if x is None or not hasattr(x, "shape"):
+            return x
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    # optimizer state mirrors params where shapes match, else replicated
+    def put_opt(x):
+        if x is None or not hasattr(x, "shape"):
+            return x
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    new_state = state.replace(
+        params=params,
+        opt_state=jax.tree_util.tree_map(put_opt, state.opt_state),
+        batch_stats=jax.tree_util.tree_map(put_repl, state.batch_stats)
+        if state.batch_stats is not None
+        else None,
+        constants=jax.tree_util.tree_map(put_repl, state.constants)
+        if state.constants is not None
+        else None,
+        step=jax.device_put(state.step, NamedSharding(mesh, P())),
+    )
+    return new_state

@@ -1,0 +1,265 @@
+"""Preprocessing orchestrator.
+
+Re-provides the upstream everyvoice Preprocessor capability the reference
+delegates to (SURVEY.md §3.4): per utterance — audio load/resample, log-mel
+spec, F0, energy, beta-binomial attention prior, tokenized text — plus corpus
+stats (stats.json) and train/val filelist splitting.
+
+Artifacts are .npy files under save_dir/{audio,spec,pitch,energy,attn,text}
+using the reference's naming scheme `{basename}--{speaker}--{language}--
+{artifact}` (fs2/dataset.py:53-57), so datasets are mechanically comparable.
+Work is farmed over a process pool (the host-side analogue of the reference's
+multiprocessing preprocessing)."""
+
+from __future__ import annotations
+
+import functools
+import multiprocessing as mp
+from pathlib import Path
+from typing import Iterable, List, Optional
+
+import numpy as np
+
+from ..config import FastSpeech2Config
+from ..text import TextProcessor
+from ..text.features import get_features_for_tokens
+from ..utils import load_filelist, write_filelist
+from .f0 import estimate_f0
+from .features import frame_energy_numpy, mel_spectrogram_numpy
+from .priors import beta_binomial_prior
+from .stats import StatsAccumulator, save_stats
+from ..type_definitions import Stats
+
+SEP = "--"
+
+ALL_STEPS = ("audio", "spec", "attn", "text", "pitch", "energy")
+
+
+def load_wav(path: Path, target_sr: int) -> np.ndarray:
+    """Load a wav file as float32 mono in [-1, 1], resampled to target_sr."""
+    from scipy.io import wavfile
+    from scipy.signal import resample_poly
+
+    sr, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        audio = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        audio = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        audio = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        audio = data.astype(np.float32)
+    if audio.ndim > 1:
+        audio = audio.mean(axis=1)
+    if sr != target_sr:
+        g = np.gcd(sr, target_sr)
+        audio = resample_poly(audio, target_sr // g, sr // g).astype(np.float32)
+    return audio
+
+
+def save_wav(path: Path, audio: np.ndarray, sr: int) -> None:
+    from scipy.io import wavfile
+
+    path.parent.mkdir(parents=True, exist_ok=True)
+    pcm = np.clip(audio, -1.0, 1.0)
+    wavfile.write(path, sr, (pcm * 32767.0).astype(np.int16))
+
+
+class Preprocessor:
+    def __init__(self, config: FastSpeech2Config):
+        self.config = config
+        self.audio_cfg = config.preprocessing.audio
+        self.save_dir = Path(config.preprocessing.save_dir)
+        self.text_processor = TextProcessor(config.text)
+
+    # -- naming -----------------------------------------------------------
+
+    def artifact_path(self, kind: str, basename: str, speaker: str, language: str, fn: str) -> Path:
+        return self.save_dir / kind / SEP.join([basename, speaker, language, fn])
+
+    def spec_filename(self) -> str:
+        a = self.audio_cfg
+        return f"spec-{a.input_sampling_rate}-{a.spec_type}.npy"
+
+    # -- per-utterance ----------------------------------------------------
+
+    def process_text(self, item: dict, use_pfs: bool = False):
+        """(character_tokens, phone_tokens, pfs) for a filelist item —
+        everyvoice Preprocessor.process_text parity (fs2/dataset.py:89-98).
+        Phones come from a 'phones' column when present; there is no bundled
+        g2p, so text without phones trains at the characters level."""
+        text = item.get("characters") or item.get("text") or ""
+        character_tokens = self.text_processor.process_text(text)
+        phone_tokens = None
+        if item.get("phones"):
+            phone_tokens = self.text_processor.process_text(item["phones"])
+        pfs = None
+        if use_pfs:
+            pfs = get_features_for_tokens(phone_tokens or character_tokens)
+        return character_tokens, phone_tokens, pfs
+
+    def process_utterance(
+        self, item: dict, data_dir: Path, steps: Iterable[str] = ALL_STEPS
+    ) -> Optional[dict]:
+        """Extract and save artifacts for one utterance; returns the enriched
+        filelist row (with token strings) or None if filtered out."""
+        a = self.audio_cfg
+        basename = item["basename"]
+        speaker = item.get("speaker") or "default"
+        language = item.get("language") or "default"
+        steps = set(steps)
+
+        wav_path = data_dir / f"{basename}.wav"
+        audio = load_wav(wav_path, a.input_sampling_rate)
+        dur_s = len(audio) / a.input_sampling_rate
+        if dur_s < a.min_audio_length or dur_s > a.max_audio_length:
+            return None
+
+        if "audio" in steps:
+            out = self.artifact_path(
+                "audio", basename, speaker, language,
+                f"audio-{a.input_sampling_rate}.wav",
+            )
+            save_wav(out, audio, a.input_sampling_rate)
+
+        mel = None
+        if "spec" in steps or "attn" in steps:
+            mel = mel_spectrogram_numpy(
+                audio, a.input_sampling_rate, a.n_fft, a.fft_hop_size,
+                a.fft_window_size, a.n_mels, a.f_min, a.f_max, a.spec_type,
+            )  # [n_mels, T]
+        if "spec" in steps:
+            out = self.artifact_path("spec", basename, speaker, language, self.spec_filename())
+            out.parent.mkdir(parents=True, exist_ok=True)
+            np.save(out, mel)
+
+        character_tokens, phone_tokens, pfs = self.process_text(
+            item, use_pfs=True
+        )
+        if "text" in steps:
+            out = self.artifact_path("text", basename, speaker, language, "text.npy")
+            out.parent.mkdir(parents=True, exist_ok=True)
+            np.save(out, np.asarray(self.text_processor.encode_tokens(character_tokens), dtype=np.int32))
+            if pfs is not None:
+                pfs_out = self.artifact_path("pfs", basename, speaker, language, "pfs.npy")
+                pfs_out.parent.mkdir(parents=True, exist_ok=True)
+                np.save(pfs_out, pfs)
+
+        if "attn" in steps and mel is not None:
+            T = mel.shape[1]
+            for rep, tokens in (
+                ("characters", character_tokens),
+                ("phones", phone_tokens),
+            ):
+                if not tokens:
+                    continue
+                prior = beta_binomial_prior(T, len(tokens))
+                out = self.artifact_path(
+                    "attn", basename, speaker, language, f"{rep}-attn-prior.npy"
+                )
+                out.parent.mkdir(parents=True, exist_ok=True)
+                np.save(out, prior)
+
+        n_frames = 1 + len(audio) // a.fft_hop_size
+        pitch = energy = None
+        if "pitch" in steps:
+            pitch = estimate_f0(
+                audio, a.input_sampling_rate, a.fft_hop_size, n_frames
+            )
+            out = self.artifact_path("pitch", basename, speaker, language, "pitch.npy")
+            out.parent.mkdir(parents=True, exist_ok=True)
+            np.save(out, pitch)
+        if "energy" in steps:
+            energy = frame_energy_numpy(
+                audio, a.n_fft, a.fft_hop_size, a.fft_window_size
+            )
+            out = self.artifact_path("energy", basename, speaker, language, "energy.npy")
+            out.parent.mkdir(parents=True, exist_ok=True)
+            np.save(out, energy)
+
+        row = dict(item)
+        row["basename"] = basename
+        row["speaker"] = speaker
+        row["language"] = language
+        row["character_tokens"] = self.text_processor.encode_string_tokens(character_tokens)
+        if phone_tokens:
+            row["phone_tokens"] = self.text_processor.encode_string_tokens(phone_tokens)
+        return row
+
+    # -- corpus level -----------------------------------------------------
+
+    def run(
+        self,
+        steps: Iterable[str] = ALL_STEPS,
+        cpus: Optional[int] = None,
+        compute_stats: bool = True,
+    ) -> dict:
+        """Process every source filelist; write split filelists + stats.json."""
+        all_rows: List[dict] = []
+        for source in self.config.preprocessing.source_data:
+            items = load_filelist(source.filelist)
+            worker = functools.partial(
+                _process_one, config=self.config, data_dir=Path(source.data_dir), steps=tuple(steps)
+            )
+            n_workers = cpus or self.config.preprocessing.cpus or 1
+            if n_workers > 1:
+                with mp.Pool(n_workers) as pool:
+                    rows = pool.map(worker, items)
+            else:
+                rows = [worker(it) for it in items]
+            all_rows.extend(r for r in rows if r is not None)
+
+        # deterministic split (fs2 preprocessing: train_split + seed)
+        rng = np.random.default_rng(self.config.preprocessing.dataset_split_seed)
+        order = rng.permutation(len(all_rows))
+        n_train = int(len(all_rows) * self.config.preprocessing.train_split)
+        train_rows = [all_rows[i] for i in order[:n_train]]
+        val_rows = [all_rows[i] for i in order[n_train:]]
+        write_filelist(train_rows, self.save_dir / "training_filelist.psv")
+        write_filelist(val_rows, self.save_dir / "validation_filelist.psv")
+
+        result = {"n_train": len(train_rows), "n_val": len(val_rows)}
+        if compute_stats:
+            stats = self.compute_stats(all_rows, normalize=True)
+            save_stats(stats, self.save_dir / "stats.json")
+            result["stats"] = stats
+        return result
+
+    def compute_stats(self, rows: List[dict], normalize: bool = True) -> Stats:
+        """Pitch/energy scalers (+ in-place z-normalization of the saved
+        artifacts, like upstream normalize_stats) and text-length stats."""
+        p_acc, e_acc = StatsAccumulator(), StatsAccumulator()
+        c_acc, ph_acc = StatsAccumulator(), StatsAccumulator()
+        paths = []
+        for row in rows:
+            b, s, l = row["basename"], row["speaker"], row["language"]
+            pp = self.artifact_path("pitch", b, s, l, "pitch.npy")
+            ep = self.artifact_path("energy", b, s, l, "energy.npy")
+            if pp.exists():
+                p_acc.update(np.load(pp))
+            if ep.exists():
+                e_acc.update(np.load(ep))
+            paths.append((pp, ep))
+            if row.get("character_tokens"):
+                c_acc.update(np.array([len(row["character_tokens"].split("/"))]))
+            if row.get("phone_tokens"):
+                ph_acc.update(np.array([len(row["phone_tokens"].split("/"))]))
+
+        if normalize:
+            for pp, ep in paths:
+                if pp.exists():
+                    np.save(pp, p_acc.normalize(np.load(pp)))
+                if ep.exists():
+                    np.save(ep, e_acc.normalize(np.load(ep)))
+
+        return Stats(
+            pitch=p_acc.finalize(),
+            energy=e_acc.finalize(),
+            character_length=c_acc.finalize() if c_acc.n else None,
+            phone_length=ph_acc.finalize() if ph_acc.n else None,
+        )
+
+
+def _process_one(item: dict, config: FastSpeech2Config, data_dir: Path, steps):
+    """Top-level worker for multiprocessing pickling."""
+    return Preprocessor(config).process_utterance(item, data_dir, steps)

@@ -1,0 +1,70 @@
+"""Train state: params + optimizer + schedule.
+
+Optimizer parity with the reference (fs2/model.py:530-549): AdamW with the
+Noam LR schedule stepped per optimizer step (fs2/noam.py:20-26), and global
+gradient-norm clipping at training.gradient_clip_val (the harness passes 1.0,
+fs2/cli/train.py:38). Expressed as one optax chain inside a flax TrainState;
+the whole update is jitted with donated arguments."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training import train_state
+
+from ..config import FastSpeech2Config
+
+
+def noam_schedule(base_lr: float, warmup_steps: int):
+    """scale = warmup^0.5 * min(step^-0.5, step * warmup^-1.5), step >= 1."""
+
+    def schedule(step):
+        step = jnp.maximum(step.astype(jnp.float32), 1.0)
+        scale = warmup_steps**0.5 * jnp.minimum(
+            step**-0.5, step * warmup_steps**-1.5
+        )
+        return base_lr * scale
+
+    return schedule
+
+
+class TrainState(train_state.TrainState):
+    """TrainState carrying mutable batch statistics (PostNet/GST batch norm)."""
+
+    batch_stats: Any = None
+    constants: Any = struct.field(pytree_node=True, default=None)
+
+
+def make_optimizer(config: FastSpeech2Config) -> optax.GradientTransformation:
+    opt = config.training.optimizer
+    return optax.chain(
+        optax.clip_by_global_norm(config.training.gradient_clip_val),
+        optax.adamw(
+            learning_rate=noam_schedule(opt.learning_rate, opt.warmup_steps),
+            b1=opt.betas[0],
+            b2=opt.betas[1],
+            eps=opt.eps,
+            weight_decay=opt.weight_decay,
+        ),
+    )
+
+
+def create_train_state(
+    config: FastSpeech2Config, model, rng: jax.Array, example_batch: dict
+) -> TrainState:
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        example_batch,
+        deterministic=True,
+    )
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=make_optimizer(config),
+        batch_stats=variables.get("batch_stats"),
+        constants=variables.get("constants"),
+    )

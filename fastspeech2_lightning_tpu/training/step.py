@@ -1,0 +1,90 @@
+"""Jitted train/eval/predict steps.
+
+One fused XLA program per step — forward, loss, backward, optimizer update —
+with donated state (the reference's per-step Python orchestration through
+Lightning hooks is replaced by a single compiled function)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FastSpeech2Config
+from .loss import compute_loss
+from .state import TrainState
+
+
+def _variables(state: TrainState) -> Dict[str, Any]:
+    v = {"params": state.params}
+    if state.batch_stats is not None:
+        v["batch_stats"] = state.batch_stats
+    if state.constants is not None:
+        v["constants"] = state.constants
+    return v
+
+
+def make_train_step(config: FastSpeech2Config, model):
+    """(state, batch, rng, epoch) -> (state, losses) — jitted, state donated."""
+
+    def train_step(state: TrainState, batch, rng, epoch):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            variables = dict(_variables(state), params=params)
+            mutable = ["batch_stats"] if state.batch_stats is not None else []
+            out = model.apply(
+                variables,
+                batch,
+                deterministic=False,
+                rngs={"dropout": rng},
+                mutable=mutable,
+            )
+            if mutable:
+                out, updated = out
+            else:
+                updated = {}
+            losses = compute_loss(config, out, batch, epoch)
+            return losses["total"], (losses, updated)
+
+        grads, (losses, updated) = jax.grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        if state.batch_stats is not None:
+            new_state = new_state.replace(batch_stats=updated["batch_stats"])
+        losses["grad_norm"] = jnp.sqrt(
+            sum(jnp.sum(g * g) for g in jax.tree_util.tree_leaves(grads))
+        )
+        return new_state, losses
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(config: FastSpeech2Config, model):
+    """(state, batch, epoch) -> losses (+ model output) — deterministic."""
+
+    def eval_step(state: TrainState, batch, epoch):
+        out = model.apply(_variables(state), batch, deterministic=True)
+        losses = compute_loss(config, out, batch, epoch)
+        return losses, out
+
+    return jax.jit(eval_step)
+
+
+def make_predict_step(config: FastSpeech2Config, model, max_target_len: int):
+    """Synthesis step: (state, batch, control, teacher_forcing) -> output dict."""
+
+    @functools.partial(jax.jit, static_argnames=("teacher_forcing",))
+    def predict_step(state: TrainState, batch, control, teacher_forcing=False):
+        return model.apply(
+            _variables(state),
+            batch,
+            control=control,
+            inference=True,
+            teacher_forcing=teacher_forcing,
+            deterministic=True,
+            max_target_len=max_target_len,
+        )
+
+    return predict_step

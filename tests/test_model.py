@@ -1,0 +1,143 @@
+"""FastSpeech2 model forward/loss tests on tiny shapes (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastspeech2_lightning_tpu.models import FastSpeech2
+from fastspeech2_lightning_tpu.training.loss import compute_loss
+
+from helpers import synthetic_batch, tiny_config, tiny_stats
+
+N_SYMBOLS = 30
+
+
+def build(learn_alignment=True, **overrides):
+    cfg = tiny_config(learn_alignment=learn_alignment, **overrides)
+    model = FastSpeech2(
+        config=cfg, stats=tiny_stats(), n_symbols=N_SYMBOLS, n_speakers=2, n_languages=2
+    )
+    return cfg, model
+
+
+def init_and_apply(model, batch, **kwargs):
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng}, batch, deterministic=True)
+    out = model.apply(variables, batch, deterministic=True, **kwargs)
+    return variables, out
+
+
+def test_forward_training_learned_alignment():
+    rng = np.random.default_rng(0)
+    cfg, model = build(learn_alignment=True)
+    batch = synthetic_batch(rng, learn_alignment=True)
+    _, out = init_and_apply(model, batch)
+    B, T, L = 2, 48, 12
+    assert out["output"].shape == (B, T, cfg.preprocessing.audio.n_mels)
+    assert out["postnet_output"].shape == (B, T, cfg.preprocessing.audio.n_mels)
+    assert out["attn_soft"].shape == (B, T, L)
+    assert out["attn_hard"].shape == (B, T, L)
+    # MAS invariant: durations sum to mel lengths (fs2/variance_adaptor.py:289-305)
+    np.testing.assert_array_equal(
+        np.asarray(out["duration_target"]).sum(axis=1), batch["mel_lens"]
+    )
+    assert np.isfinite(np.asarray(out["output"])).all()
+
+
+def test_forward_training_oracle_durations():
+    rng = np.random.default_rng(1)
+    cfg, model = build(learn_alignment=False)
+    batch = synthetic_batch(rng, learn_alignment=False)
+    _, out = init_and_apply(model, batch)
+    assert out["attn_soft"] is None
+    np.testing.assert_array_equal(
+        np.asarray(out["duration_target"]), batch["duration"]
+    )
+    assert np.isfinite(np.asarray(out["output"])).all()
+
+
+def test_forward_inference_static_shapes():
+    rng = np.random.default_rng(2)
+    cfg, model = build(learn_alignment=True)
+    train_batch = synthetic_batch(rng, learn_alignment=True)
+    variables = FastSpeech2(
+        config=cfg, stats=tiny_stats(), n_symbols=N_SYMBOLS, n_speakers=2, n_languages=2
+    ).init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)}, train_batch)
+
+    inf_batch = synthetic_batch(rng, learn_alignment=True, inference=True)
+    out = model.apply(
+        variables, inf_batch, inference=True, deterministic=True, max_target_len=64
+    )
+    assert out["output"].shape == (2, 64, cfg.preprocessing.audio.n_mels)
+    mel_lens = np.asarray(out["tgt_lens"])
+    tgt_mask = np.asarray(out["tgt_mask"])
+    assert (mel_lens >= 0).all() and (mel_lens <= 64).all()
+    for b in range(2):
+        assert tgt_mask[b, : mel_lens[b]].all()
+        assert not tgt_mask[b, mel_lens[b]:].any()
+    # predicted durations drive lengths
+    np.testing.assert_array_equal(
+        np.minimum(np.asarray(out["duration_rounded"]).sum(axis=1), 64), mel_lens
+    )
+
+
+def test_loss_finite_and_all_keys():
+    rng = np.random.default_rng(3)
+    cfg, model = build(learn_alignment=True)
+    batch = synthetic_batch(rng, learn_alignment=True)
+    _, out = init_and_apply(model, batch)
+    losses = compute_loss(cfg, out, batch, current_epoch=1)
+    expected = {"pitch", "energy", "duration", "spec", "postnet", "attn_ctc", "attn_bin", "total"}
+    assert set(losses) == expected
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    total = sum(float(v) for k, v in losses.items() if k != "total")
+    np.testing.assert_allclose(float(losses["total"]), total, rtol=1e-5)
+
+
+def test_loss_oracle_duration_keys():
+    rng = np.random.default_rng(4)
+    cfg, model = build(learn_alignment=False)
+    batch = synthetic_batch(rng, learn_alignment=False)
+    _, out = init_and_apply(model, batch)
+    losses = compute_loss(cfg, out, batch, current_epoch=0)
+    assert "attn_ctc" not in losses and "attn_bin" not in losses
+    assert np.isfinite(float(losses["total"]))
+
+
+def test_multispeaker_multilingual_and_gst():
+    rng = np.random.default_rng(5)
+    cfg, model = build(
+        learn_alignment=True,
+        multispeaker=True,
+        multilingual=True,
+        use_global_style_token_module=True,
+    )
+    batch = synthetic_batch(rng, learn_alignment=True)
+    batch["speaker_id"] = np.array([0, 1], dtype=np.int32)
+    batch["language_id"] = np.array([1, 0], dtype=np.int32)
+    variables, out = init_and_apply(model, batch)
+    assert "gst" in variables["params"]
+    assert "speaker_embedding" in variables["params"]
+    assert np.isfinite(np.asarray(out["output"])).all()
+
+
+def test_grad_flows():
+    rng = np.random.default_rng(6)
+    cfg, model = build(learn_alignment=True)
+    batch = synthetic_batch(rng, learn_alignment=True)
+    variables, _ = init_and_apply(model, batch)
+
+    def loss_fn(params):
+        out = model.apply(
+            {**variables, "params": params}, batch, deterministic=True
+        )
+        return compute_loss(cfg, out, batch, current_epoch=1)["total"]
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # encoder gets gradient signal
+    gnorm = sum(float(jnp.sum(g * g)) for g in flat)
+    assert gnorm > 0

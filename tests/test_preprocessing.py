@@ -1,0 +1,180 @@
+"""Preprocessing tests: mel parity with librosa conventions, F0 on synthetic
+tones, priors, stats, and the end-to-end pipeline on generated wavs."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from fastspeech2_lightning_tpu.config import FastSpeech2Config
+from fastspeech2_lightning_tpu.preprocessing import (
+    Preprocessor,
+    beta_binomial_prior,
+    estimate_f0,
+    mel_filterbank,
+    mel_spectrogram_numpy,
+    StatsAccumulator,
+)
+from fastspeech2_lightning_tpu.preprocessing.features import (
+    frame_energy_numpy,
+    mel_spectrogram_jax,
+)
+from fastspeech2_lightning_tpu.preprocessing.pipeline import save_wav
+from fastspeech2_lightning_tpu.utils import write_filelist
+
+SR = 22050
+
+
+def tone(freq=220.0, seconds=1.0, sr=SR):
+    t = np.arange(int(seconds * sr)) / sr
+    return (0.5 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def test_mel_filterbank_shape_and_rows():
+    fb = mel_filterbank(SR, 1024, 80, 0.0, 8000.0)
+    assert fb.shape == (80, 513)
+    assert (fb >= 0).all()
+    # every filter has some support
+    assert (fb.sum(axis=1) > 0).all()
+
+
+def test_mel_spectrogram_frames_and_peak():
+    audio = tone(440.0, 0.5)
+    mel = mel_spectrogram_numpy(audio, SR, 1024, 256, 1024, 80, 0, 8000)
+    assert mel.shape[0] == 80
+    assert mel.shape[1] == 1 + len(audio) // 256
+    # energy concentrated near the 440 Hz filter
+    peak_bin = mel[:, mel.shape[1] // 2].argmax()
+    fb = mel_filterbank(SR, 1024, 80, 0, 8000)
+    freqs = np.linspace(0, SR / 2, 513)
+    center = freqs[fb[peak_bin].argmax()]
+    assert 300 < center < 600
+
+
+def test_mel_jax_matches_numpy():
+    jnp = pytest.importorskip("jax.numpy")
+    audio = tone(330.0, 0.3)
+    ref = mel_spectrogram_numpy(audio, SR, 1024, 256, 1024, 80, 0, 8000)
+    out = np.asarray(
+        mel_spectrogram_jax(jnp.array(audio[None]), SR, 1024, 256, 1024, 80, 0, 8000)
+    )[0]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_f0_pure_tone():
+    for freq in (110.0, 220.0, 440.0):
+        audio = tone(freq, 0.5)
+        f0 = estimate_f0(audio, SR, 256)
+        voiced = f0[f0 > 0]
+        assert len(voiced) > 0.7 * len(f0)
+        median = np.median(voiced)
+        assert abs(median - freq) / freq < 0.03, (freq, median)
+
+
+def test_f0_silence_unvoiced():
+    audio = np.zeros(SR // 2, dtype=np.float32)
+    f0 = estimate_f0(audio, SR, 256)
+    assert (f0 == 0).all()
+
+
+def test_energy_shape_silence_vs_tone():
+    audio = np.concatenate([np.zeros(SR // 4, dtype=np.float32), tone(220, 0.25)])
+    e = frame_energy_numpy(audio, 1024, 256, 1024)
+    third = len(e) // 3
+    assert e[:third].mean() < e[-third:].mean()
+
+
+def test_beta_binomial_prior_rows_normalized():
+    prior = beta_binomial_prior(50, 12)
+    assert prior.shape == (50, 12)
+    np.testing.assert_allclose(prior.sum(axis=1), 1.0, rtol=1e-5)
+    # roughly diagonal: early frames mass at early text positions
+    assert prior[0].argmax() < prior[-1].argmax()
+
+
+def test_stats_accumulator_matches_numpy():
+    acc = StatsAccumulator()
+    rng = np.random.default_rng(0)
+    chunks = [rng.standard_normal(100) + 3 for _ in range(5)]
+    for c in chunks:
+        acc.update(c)
+    allv = np.concatenate(chunks)
+    allv = allv[allv != 0]
+    info = acc.finalize()
+    np.testing.assert_allclose(info.mean, allv.mean(), rtol=1e-6)
+    np.testing.assert_allclose(info.std, allv.std(), rtol=1e-6)
+    np.testing.assert_allclose(info.min, allv.min(), rtol=1e-6)
+    # normalize keeps zeros at zero
+    normed = acc.normalize(np.array([0.0, float(allv[0])]))
+    assert normed[0] == 0.0
+
+
+@pytest.fixture
+def corpus(tmp_path: Path):
+    """Tiny synthetic corpus: 6 wavs + filelist + config."""
+    wav_dir = tmp_path / "wavs"
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(6):
+        freq = 150 + 40 * i
+        seconds = 0.6 + 0.15 * i
+        audio = tone(freq, seconds) + 0.01 * rng.standard_normal(
+            int(seconds * SR)
+        ).astype(np.float32)
+        save_wav(wav_dir / f"utt{i}.wav", audio, SR)
+        rows.append(
+            {
+                "basename": f"utt{i}",
+                "characters": f"hello world number {i}",
+                "language": "default",
+                "speaker": "default",
+            }
+        )
+    filelist = tmp_path / "filelist.psv"
+    write_filelist(rows, filelist)
+    cfg = FastSpeech2Config.model_validate(
+        {
+            "preprocessing": {
+                "save_dir": str(tmp_path / "preprocessed"),
+                "train_split": 0.8,
+                "source_data": [
+                    {"data_dir": str(wav_dir), "filelist": str(filelist)}
+                ],
+            },
+            "text": {
+                "symbols": {"letters": list("abcdefghijklmnopqrstuvwxyz0123456789")}
+            },
+        }
+    )
+    return cfg
+
+
+def test_pipeline_end_to_end(corpus: FastSpeech2Config):
+    pre = Preprocessor(corpus)
+    result = pre.run(cpus=1)
+    save_dir = Path(corpus.preprocessing.save_dir)
+    assert (save_dir / "stats.json").exists()
+    assert (save_dir / "training_filelist.psv").exists()
+    assert result["n_train"] + result["n_val"] == 6
+
+    # artifacts exist with the reference naming scheme
+    spec = save_dir / "spec" / f"utt0--default--default--spec-{SR}-mel-librosa.npy"
+    assert spec.exists()
+    mel = np.load(spec)
+    assert mel.shape[0] == 80
+
+    pitch = np.load(save_dir / "pitch" / "utt0--default--default--pitch.npy")
+    energy = np.load(save_dir / "energy" / "utt0--default--default--energy.npy")
+    # frame-aligned with mel
+    assert abs(pitch.shape[0] - mel.shape[1]) <= 1
+    assert abs(energy.shape[0] - mel.shape[1]) <= 1
+    # z-normalized after stats: voiced values not all raw Hz
+    assert np.abs(pitch[pitch != 0]).max() < 20
+
+    prior = np.load(
+        save_dir / "attn" / "utt0--default--default--characters-attn-prior.npy"
+    )
+    assert prior.shape[0] == mel.shape[1]
+
+    stats = result["stats"]
+    assert stats.pitch.std > 0 and stats.energy.std > 0
