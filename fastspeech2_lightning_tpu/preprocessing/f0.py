@@ -49,15 +49,17 @@ def estimate_f0(
         )
 
     W = tau_max  # integration window
-    # difference function d(tau) = sum_{j<W} (x[j] - x[j+tau])^2, computed via
-    # autocorrelation: d(tau) = r(0) + r_tau(0) - 2*corr(tau)
+    # difference function d(tau) = sum_{j<W} (x[j] - x[j+tau])^2
+    #                            = r0 + r_tau - 2 * corr_W(tau)
+    # with corr_W(tau) = sum_{j<W} x[j] x[j+tau]: a windowed cross-correlation
+    # of x[:W] against x, via zero-padded FFTs (linear, not circular).
     x = frames
-    # FFT-based autocorrelation per frame
     fsize = 1
     while fsize < frame_len + tau_max:
         fsize *= 2
     X = np.fft.rfft(x, fsize, axis=1)
-    corr = np.fft.irfft(X * np.conj(X), fsize, axis=1)[:, : tau_max + 1]
+    XW = np.fft.rfft(x[:, :W], fsize, axis=1)
+    corr = np.fft.irfft(X * np.conj(XW), fsize, axis=1)[:, : tau_max + 1]
 
     # cumulative energy terms
     sq = x**2
@@ -83,6 +85,20 @@ def estimate_f0(
     has_under = under.any(axis=1)
     global_min = np.argmin(valid, axis=1)
     tau_star = np.where(has_under, first_under, global_min) + tau_min
+
+    # YIN refinement: descend from the threshold crossing to the local
+    # minimum of the normalized difference (the crossing happens on the
+    # falling edge, before the true period)
+    n_frames_actual = cmnd.shape[0]
+    k_max = max(8, tau_max // 3)
+    offs = np.arange(k_max)
+    win_idx = np.minimum(tau_star[:, None] + offs[None, :], tau_max)
+    win = cmnd[np.arange(n_frames_actual)[:, None], win_idx]
+    # allow descent only up to ~35% past the crossing
+    limit = np.maximum(4, (tau_star * 0.35).astype(int))
+    win = np.where(offs[None, :] <= limit[:, None], win, np.inf)
+    tau_star = tau_star + np.argmin(win, axis=1)
+    tau_star = np.minimum(tau_star, tau_max)
 
     # parabolic interpolation around the minimum
     t_idx = np.arange(cmnd.shape[0])

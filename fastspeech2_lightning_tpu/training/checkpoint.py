@@ -1,0 +1,186 @@
+"""Versioned checkpoints: orbax arrays + JSON metadata.
+
+Parity with the reference's checkpoint story (SURVEY.md §5.4):
+ - every checkpoint embeds `model_info = {name, version}`, a checkpoint-safe
+   config dump, corpus stats, and the lookup tables (fs2/model.py:369-378)
+ - loading runs `check_and_upgrade_checkpoint`: wrong model type -> TypeError;
+   newer version -> ValueError; <1.0 upgraded in place; pfs models <1.2
+   rejected; character models <1.2 get their text embedding table remapped
+   row-by-row by symbol (fs2/model.py:270-351)
+ - top-k retention on the monitored metric + global_step recoverable from the
+   raw checkpoint (fs2/cli/synthesize.py:322-330 semantics)
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+from packaging.version import Version
+
+from .. import MODEL_VERSION
+from ..config import FastSpeech2Config
+from ..type_definitions import Stats
+
+MODEL_NAME = "FastSpeech2"
+
+
+class CheckpointError(Exception):
+    pass
+
+
+def save_checkpoint(
+    ckpt_dir: Path,
+    state,
+    config: FastSpeech2Config,
+    stats: Optional[Stats],
+    lang2id: dict,
+    speaker2id: dict,
+    symbols: list[str],
+    metrics: Optional[dict] = None,
+) -> Path:
+    """Write one checkpoint directory `step=N` under ckpt_dir."""
+    ckpt_dir = Path(ckpt_dir)
+    step = int(state.step)
+    path = ckpt_dir / f"step={step}"
+    if path.exists():
+        shutil.rmtree(path)
+    path.mkdir(parents=True)
+
+    arrays = {
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+    }
+    if state.batch_stats is not None:
+        arrays["batch_stats"] = jax.device_get(state.batch_stats)
+    if getattr(state, "constants", None) is not None:
+        arrays["constants"] = jax.device_get(state.constants)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save((path / "arrays").resolve(), arrays)
+    ckptr.wait_until_finished()
+
+    meta = {
+        "model_info": {"name": MODEL_NAME, "version": MODEL_VERSION},
+        "global_step": step,
+        "config": config.model_checkpoint_dump(),
+        "stats": stats.model_dump(mode="json") if stats is not None else None,
+        "lang2id": lang2id,
+        "speaker2id": speaker2id,
+        "symbols": symbols,
+        "metrics": metrics or {},
+    }
+    with open(path / "meta.json", "w", encoding="utf8") as f:
+        json.dump(meta, f, indent=2)
+    return path
+
+
+def prune_checkpoints(ckpt_dir: Path, keep_top_k: int, monitor: str) -> None:
+    """Keep the k best checkpoints by the monitored metric (lower is better),
+    always keeping the latest (for resume)."""
+    ckpt_dir = Path(ckpt_dir)
+    entries = []
+    for p in ckpt_dir.glob("step=*"):
+        try:
+            meta = json.loads((p / "meta.json").read_text())
+        except Exception:
+            continue
+        entries.append((p, meta.get("metrics", {}).get(monitor), meta["global_step"]))
+    if len(entries) <= keep_top_k:
+        return
+    latest = max(entries, key=lambda e: e[2])[0]
+    scored = [e for e in entries if e[1] is not None]
+    scored.sort(key=lambda e: e[1])
+    keep = {p for p, _, _ in scored[:keep_top_k]} | {latest}
+    for p, _, _ in entries:
+        if p not in keep:
+            shutil.rmtree(p)
+
+
+def latest_checkpoint(ckpt_dir: Path) -> Optional[Path]:
+    ckpt_dir = Path(ckpt_dir)
+    if not ckpt_dir.exists():
+        return None
+    steps = []
+    for p in ckpt_dir.glob("step=*"):
+        try:
+            steps.append((int(p.name.split("=")[1]), p))
+        except ValueError:
+            continue
+    return max(steps)[1] if steps else None
+
+
+def get_global_step(ckpt_path: Path) -> int:
+    """Re-read global_step from the raw checkpoint (the reference must do
+    this because Lightning resets it on load, fs2/cli/synthesize.py:322-330)."""
+    meta = json.loads((Path(ckpt_path) / "meta.json").read_text())
+    return int(meta["global_step"])
+
+
+def check_and_upgrade_checkpoint(
+    meta: dict, arrays: dict, current_symbols: list[str]
+) -> tuple[dict, dict]:
+    """Version gate + migrations (fs2/model.py:270-351 semantics)."""
+    model_info = meta.get("model_info", {"name": MODEL_NAME, "version": "1.0"})
+
+    name = model_info.get("name", "MISSING_TYPE")
+    if name != MODEL_NAME:
+        raise TypeError(
+            f"Wrong model type ({name}), we are expecting a '{MODEL_NAME}' model"
+        )
+
+    version = Version(model_info.get("version", "0.0"))
+    if version > Version(MODEL_VERSION):
+        raise ValueError(
+            "Your model was created with a newer version of this software, "
+            "please update."
+        )
+    if version < Version("1.0"):
+        meta["model_info"]["version"] = "1.0"
+
+    level = (
+        meta.get("config", {})
+        .get("model", {})
+        .get("target_text_representation_level", "characters")
+    )
+    if version < Version("1.2") and level == "phonological_features":
+        raise ValueError(
+            f"Breaking changes to phonological-feature handling in model "
+            f"version 1.2; your model is version {version}. Please re-train."
+        )
+    elif version < Version("1.2"):
+        # remap embedding rows by symbol (fs2/model.py:313-349)
+        ckpt_symbols = meta.get("symbols", [])
+        if len(ckpt_symbols) > len(current_symbols):
+            raise CheckpointError(
+                "Unable to automatically update your embedding table: the "
+                "checkpoint has more symbols than the current model."
+            )
+        old = np.asarray(arrays["params"]["text_input_layer"]["embedding"])
+        new = np.zeros((len(current_symbols), old.shape[1]), dtype=old.dtype)
+        for i, sym in enumerate(ckpt_symbols):
+            j = current_symbols.index(sym) if sym in current_symbols else 0
+            new[j] = old[i]
+        arrays["params"]["text_input_layer"]["embedding"] = new
+        meta["model_info"]["version"] = MODEL_VERSION
+    return meta, arrays
+
+
+def load_checkpoint(
+    ckpt_path: Path, current_symbols: Optional[list[str]] = None
+) -> tuple[dict, dict]:
+    """(meta, arrays) with version checks applied. arrays holds numpy pytrees
+    for params/opt_state/batch_stats."""
+    ckpt_path = Path(ckpt_path)
+    with open(ckpt_path / "meta.json", "r", encoding="utf8") as f:
+        meta = json.load(f)
+    ckptr = ocp.StandardCheckpointer()
+    arrays = ckptr.restore((ckpt_path / "arrays").resolve())
+    if current_symbols is None:
+        current_symbols = meta.get("symbols", [])
+    meta, arrays = check_and_upgrade_checkpoint(meta, arrays, current_symbols)
+    return meta, arrays

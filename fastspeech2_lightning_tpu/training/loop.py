@@ -1,0 +1,177 @@
+"""Training loop.
+
+The harness role of upstream `train_base_command` (SURVEY.md §2.2): builds the
+model + data, restores/fine-tunes from checkpoints, runs jitted train steps
+over bucketed batches, validates on a cadence, logs `training/*_loss` /
+`validation/*_loss` scalars (tag parity with fs2/model.py:387-389,524-528) to
+TensorBoard, checkpoints top-k on `validation/total_loss`."""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..config import FastSpeech2Config
+from ..dataset import BucketedLoader, load_datasets
+from ..text import TextProcessor, lookuptables_from_config
+from ..type_definitions import Stats
+from ..models import FastSpeech2
+from ..parallel import make_mesh, shard_batch
+from .checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    prune_checkpoints,
+    save_checkpoint,
+)
+from .state import TrainState, create_train_state
+from .step import make_eval_step, make_train_step
+from ..preprocessing.stats import load_stats
+
+MONITOR = "validation/total_loss"
+
+
+def _device_batch(batch: dict) -> dict:
+    """Strip host-only fields; ship arrays."""
+    drop = {"basename", "speaker", "language", "raw_text", "is_last_input_chunk",
+            "max_src_len", "max_mel_len"}
+    return {k: v for k, v in batch.items() if k not in drop}
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: FastSpeech2Config,
+        stats: Optional[Stats] = None,
+        log_dir: Optional[Path] = None,
+    ):
+        self.config = config
+        save_dir = Path(config.preprocessing.save_dir)
+        if stats is None:
+            stats_path = save_dir / "stats.json"
+            stats = load_stats(stats_path) if stats_path.exists() else None
+        self.stats = stats
+        self.lang2id, self.speaker2id = lookuptables_from_config(config)
+        self.text_processor = TextProcessor(config.text)
+        self.model = FastSpeech2(
+            config=config,
+            stats=stats,
+            n_symbols=len(self.text_processor.symbols),
+            n_speakers=max(len(self.speaker2id), 1),
+            n_languages=max(len(self.lang2id), 1),
+        )
+        self.log_dir = Path(
+            log_dir
+            or Path(config.training.logger.save_dir)
+            / config.training.logger.name
+            / config.training.logger.version
+        )
+        self.ckpt_dir = self.log_dir / "checkpoints"
+        self.writer = None
+
+    def _log(self, tag: str, value: float, step: int):
+        if self.writer is None:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.writer = SummaryWriter(logdir=str(self.log_dir))
+            except Exception:
+                self.writer = False
+        if self.writer:
+            self.writer.add_scalar(tag, value, step)
+
+    def fit(self, max_steps: Optional[int] = None, resume: bool = True) -> TrainState:
+        config = self.config
+        max_steps = max_steps or config.training.max_steps
+        train_ds, val_ds = load_datasets(config, self.lang2id, self.speaker2id)
+        loader = BucketedLoader(
+            train_ds,
+            config.training.batch_size,
+            seed=config.training.seed,
+            use_weighted_sampler=config.training.use_weighted_sampler,
+            max_mel_length=config.model.max_mel_length,
+        )
+        val_loader = BucketedLoader(
+            val_ds,
+            min(config.training.batch_size, max(len(val_ds), 1)),
+            seed=config.training.seed,
+            max_mel_length=config.model.max_mel_length,
+        )
+
+        rng = jax.random.PRNGKey(config.training.seed)
+        example = _device_batch(next(iter(loader)))
+        state = create_train_state(config, self.model, rng, example)
+
+        start_path = None
+        if resume:
+            start_path = latest_checkpoint(self.ckpt_dir)
+        if start_path is None and config.training.finetune_checkpoint:
+            start_path = Path(config.training.finetune_checkpoint)
+        if start_path is not None:
+            meta, arrays = load_checkpoint(
+                start_path, self.text_processor.symbols
+            )
+            state = state.replace(
+                params=arrays["params"],
+                opt_state=jax.tree_util.tree_map(
+                    lambda a, b: b, state.opt_state, arrays["opt_state"]
+                ),
+                batch_stats=arrays.get("batch_stats", state.batch_stats),
+                step=meta["global_step"],
+            )
+
+        train_step = make_train_step(config, self.model)
+        eval_step = make_eval_step(config, self.model)
+
+        step = int(state.step)
+        epoch = 0
+        t0 = time.time()
+        val_interval = config.training.val_check_interval or 500
+        while step < max_steps and epoch < config.training.max_epochs:
+            for batch in loader:
+                db = _device_batch(batch)
+                state, losses = train_step(state, db, rng, epoch)
+                step = int(state.step)
+                if step % 50 == 0 or step == 1:
+                    host = {k: float(v) for k, v in losses.items()}
+                    for k, v in host.items():
+                        self._log(f"training/{k}_loss" if k != "grad_norm" else "training/grad_norm", v, step)
+                    sps = step / max(time.time() - t0, 1e-9)
+                    print(
+                        f"step {step} epoch {epoch} total={host['total']:.4f} "
+                        f"spec={host.get('spec', 0):.4f} ({sps:.2f} steps/s)"
+                    )
+                if step % val_interval == 0 or step >= max_steps:
+                    val_losses = self.validate(state, val_loader, eval_step, epoch)
+                    for k, v in val_losses.items():
+                        self._log(f"validation/{k}_loss", v, step)
+                    save_checkpoint(
+                        self.ckpt_dir, state, config, self.stats,
+                        self.lang2id, self.speaker2id, self.text_processor.symbols,
+                        metrics={MONITOR: val_losses.get("total")},
+                    )
+                    prune_checkpoints(
+                        self.ckpt_dir, config.training.save_top_k_ckpts, MONITOR
+                    )
+                if step >= max_steps:
+                    break
+            epoch += 1
+        # final checkpoint
+        save_checkpoint(
+            self.ckpt_dir, state, config, self.stats,
+            self.lang2id, self.speaker2id, self.text_processor.symbols,
+        )
+        return state
+
+    def validate(self, state, val_loader, eval_step, epoch) -> dict:
+        sums: dict = {}
+        n = 0
+        for batch in val_loader:
+            losses, _ = eval_step(state, _device_batch(batch), epoch)
+            for k, v in losses.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in sums.items()}
