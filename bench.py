@@ -1,0 +1,263 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": "mel_frames_per_sec_per_chip", "value": N, "unit": "frames/s",
+   "vs_baseline": R}
+
+value  = mel frames produced per second per chip by batched synthesis
+         (inference forward, flagship config: 4+4 Conformer layers, dim 256,
+         80 mels — the reference's defaults) on the available accelerator.
+vs_baseline = value / (CPU eager PyTorch reference-equivalent frames/s) —
+         the reference's own benchmark harness semantics (fs2/cli/benchmark.py:
+         warmup reps + timed reps, batch from the training collator) with its
+         CPU-Lightning deployment as the anchor. The north-star target is
+         vs_baseline > 50.
+
+The CPU baseline is measured once and cached in .bench_baseline.json (an
+architecture-equivalent torch model, same layer counts/widths/kernels, eager
+mode, same batch shapes). Set FS2T_BENCH_FORCE_CPU_BASELINE=1 to re-measure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+B, L, T = 16, 128, 1024
+N_MELS = 80
+WARMUP = 5
+REPS = 30
+
+BASELINE_CACHE = Path(__file__).parent / ".bench_baseline.json"
+
+
+def _synthesis_batch(rng):
+    """Duration-driven synthesis batch: every token expands to T/L = 8 frames
+    (the LJSpeech-ish average), so each call produces exactly B*T mel frames —
+    a weight-independent full-occupancy throughput measurement."""
+    text = rng.integers(1, 60, size=(B, L)).astype(np.int32)
+    return {
+        "text": text,
+        "src_lens": np.full(B, L, dtype=np.int32),
+        "mel_lens": np.full(B, T, dtype=np.int32),
+        "duration": np.full((B, L), T // L, dtype=np.int32),
+        "pitch": np.zeros((B, L), dtype=np.float32),
+        "energy": np.zeros((B, L), dtype=np.float32),
+        "speaker_id": np.zeros(B, dtype=np.int32),
+        "language_id": np.zeros(B, dtype=np.int32),
+    }
+
+
+def measure_tpu() -> tuple[float, float]:
+    """(frames_per_sec, mean_ms) for batched synthesis on the default device."""
+    import jax
+
+    from __graft_entry__ import _flagship_config, _make_model
+
+    config = _flagship_config()
+    config.model.learn_alignment = False  # deployment synthesis: no aligner
+    model = _make_model(config)
+    rng = np.random.default_rng(0)
+    batch = _synthesis_batch(rng)
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch,
+        deterministic=True,
+        max_target_len=T,
+    )
+
+    def synth(variables, batch):
+        return model.apply(
+            variables,
+            batch,
+            deterministic=True,
+            max_target_len=T,
+        )["output"]
+
+    jf = jax.jit(synth)
+    out = jf(variables, batch)
+    frames = B * T
+    for _ in range(WARMUP):
+        out = jf(variables, batch)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        out = jf(variables, batch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    mean_ms = dt / REPS * 1000
+    return frames * REPS / dt, mean_ms
+
+
+# ---------------------------------------------------------------------------
+# CPU torch baseline: architecture-equivalent eager model
+# ---------------------------------------------------------------------------
+
+
+def _torch_baseline_model():
+    """Reference-equivalent torch model (same layer counts, widths, kernels as
+    the flagship config — torchaudio-Conformer-style blocks). Built from
+    torch primitives; used only to anchor the CPU-Lightning baseline."""
+    import torch
+    import torch.nn as nn
+
+    d, ffn, heads, layers, k = 256, 1024, 2, 4, 9
+
+    class ConformerLayer(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ffn1 = nn.Sequential(
+                nn.LayerNorm(d), nn.Linear(d, ffn), nn.SiLU(), nn.Linear(ffn, d)
+            )
+            self.ln_attn = nn.LayerNorm(d)
+            self.attn = nn.MultiheadAttention(d, heads, batch_first=True)
+            self.ln_conv = nn.LayerNorm(d)
+            self.pw1 = nn.Conv1d(d, 2 * d, 1)
+            self.dw = nn.Conv1d(d, d, k, padding=k // 2, groups=d)
+            self.bn = nn.BatchNorm1d(d)
+            self.pw2 = nn.Conv1d(d, d, 1)
+            self.ffn2 = nn.Sequential(
+                nn.LayerNorm(d), nn.Linear(d, ffn), nn.SiLU(), nn.Linear(ffn, d)
+            )
+            self.final_ln = nn.LayerNorm(d)
+
+        def forward(self, x):
+            import torch.nn.functional as F
+
+            x = x + 0.5 * self.ffn1(x)
+            a = self.ln_attn(x)
+            x = x + self.attn(a, a, a, need_weights=False)[0]
+            c = self.ln_conv(x).transpose(1, 2)
+            c = F.glu(self.pw1(c), dim=1)
+            c = self.pw2(F.silu(self.bn(self.dw(c))))
+            x = x + c.transpose(1, 2)
+            x = x + 0.5 * self.ffn2(x)
+            return self.final_ln(x)
+
+    class VariancePredictor(nn.Module):
+        def __init__(self, n_layers=5, ks=3):
+            super().__init__()
+            convs = []
+            for _ in range(n_layers):
+                convs += [
+                    nn.Conv1d(d, d, ks, padding=ks // 2, groups=d),
+                    nn.Conv1d(d, d, 1),
+                    nn.ReLU(),
+                ]
+            self.convs = nn.Sequential(*convs)
+            self.ln = nn.LayerNorm(d)
+            self.out = nn.Linear(d, 1)
+
+        def forward(self, x):
+            h = self.convs(x.transpose(1, 2)).transpose(1, 2)
+            return self.out(self.ln(h)).squeeze(-1)
+
+    class Baseline(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.emb = nn.Embedding(64, d)
+            self.encoder = nn.ModuleList([ConformerLayer() for _ in range(layers)])
+            self.dur = VariancePredictor()
+            self.pitch = VariancePredictor()
+            self.energy = VariancePredictor()
+            self.pitch_emb = nn.Embedding(256, d)
+            self.energy_emb = nn.Embedding(256, d)
+            self.bins = torch.linspace(-3, 3, 255)
+            self.decoder = nn.ModuleList([ConformerLayer() for _ in range(layers)])
+            self.mel = nn.Linear(d, N_MELS)
+            pn = []
+            for i in range(5):
+                cin = N_MELS if i == 0 else 512
+                cout = N_MELS if i == 4 else 512
+                pn += [nn.Conv1d(cin, cout, 5, padding=2), nn.BatchNorm1d(cout)]
+                if i < 4:
+                    pn.append(nn.Tanh())
+            self.postnet = nn.Sequential(*pn)
+
+        def forward(self, text, durations):
+            import torch
+
+            x = self.emb(text)
+            for layer in self.encoder:
+                x = layer(x)
+            e = self.energy(x)
+            x = x + self.energy_emb(torch.bucketize(e, self.bins))
+            p = self.pitch(x)
+            x = x + self.pitch_emb(torch.bucketize(p, self.bins))
+            _ = self.dur(x)
+            outs = []
+            for b in range(x.shape[0]):
+                rep = torch.repeat_interleave(x[b], durations[b], dim=0)[:T]
+                pad = torch.zeros(T - rep.shape[0], d)
+                outs.append(torch.cat([rep, pad], 0))
+            x = torch.stack(outs)
+            for layer in self.decoder:
+                x = layer(x)
+            mel = self.mel(x)
+            mel = mel + self.postnet(mel.transpose(1, 2)).transpose(1, 2)
+            return mel, durations.sum(1).clamp(max=T)
+
+    return Baseline().eval()
+
+
+def measure_cpu_baseline() -> float:
+    import torch
+
+    torch.manual_seed(0)
+    model = _torch_baseline_model()
+    rng = np.random.default_rng(0)
+    text = torch.tensor(rng.integers(1, 60, size=(B, L)), dtype=torch.long)
+    durations = torch.full((B, L), T // L, dtype=torch.long)
+    with torch.no_grad():
+        _, lens = model(text, durations)
+        frames = int(lens.sum())
+        for _ in range(2):
+            model(text, durations)
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            model(text, durations)
+        dt = time.perf_counter() - t0
+    return frames * reps / dt
+
+
+def get_cpu_baseline() -> float:
+    force = os.environ.get("FS2T_BENCH_FORCE_CPU_BASELINE") == "1"
+    if BASELINE_CACHE.exists() and not force:
+        try:
+            return float(json.loads(BASELINE_CACHE.read_text())["cpu_frames_per_sec"])
+        except Exception:
+            pass
+    fps = measure_cpu_baseline()
+    BASELINE_CACHE.write_text(
+        json.dumps({"cpu_frames_per_sec": fps, "shapes": {"B": B, "L": L, "T": T}})
+    )
+    return fps
+
+
+def main():
+    tpu_fps, mean_ms = measure_tpu()
+    try:
+        cpu_fps = get_cpu_baseline()
+    except Exception:
+        cpu_fps = float("nan")
+    ratio = tpu_fps / cpu_fps if cpu_fps == cpu_fps and cpu_fps > 0 else None
+    print(
+        json.dumps(
+            {
+                "metric": "mel_frames_per_sec_per_chip",
+                "value": round(tpu_fps, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(ratio, 2) if ratio else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
