@@ -1,0 +1,257 @@
+"""HiFiGAN generator (inference-only vocoder handoff).
+
+The reference hands predicted mels to the everyvoice HiFiGAN
+(`load_hifigan_from_checkpoint` + `synthesize_data`, fs2/model.py:11-14,
+fs2/prediction_writing_callback.py:656-681). Here the V1 generator runs as a
+pure JAX function; `load_torch_hifigan` converts a canonical HiFiGAN torch
+state_dict (conv_pre / ups.N / resblocks.N.convsM.K / conv_post, with
+weight-norm g/v pairs folded) into the parameter pytree.
+
+All convs are NWC; transposed convs are expressed as input-dilated convs
+(`lax.conv_general_dilated` with lhs_dilation=stride), matching torch's
+ConvTranspose1d(k, stride=u, padding=(k-u)//2) output length T*u exactly."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LRELU_SLOPE = 0.1
+
+
+@dataclasses.dataclass
+class HiFiGANConfig:
+    resblock: str = "1"
+    upsample_rates: Tuple[int, ...] = (8, 8, 2, 2)
+    upsample_kernel_sizes: Tuple[int, ...] = (16, 16, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = (
+        (1, 3, 5),
+        (1, 3, 5),
+        (1, 3, 5),
+    )
+    n_mels: int = 80
+    sampling_rate: int = 22050
+    hop_size: int = 256
+
+    @property
+    def total_upsampling(self) -> int:
+        out = 1
+        for u in self.upsample_rates:
+            out *= u
+        return out
+
+
+def _conv1d(x, w, b, dilation: int = 1):
+    """x [B, T, Cin], w [K, Cin, Cout] -> [B, T, Cout], SAME padding."""
+    K = w.shape[0]
+    pad = (K - 1) * dilation // 2
+    out = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(1,),
+        padding=[(pad, (K - 1) * dilation - pad)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return out + b
+
+
+def _conv_transpose1d(x, w, b, stride: int):
+    """torch ConvTranspose1d(k, stride=u, padding=(k-u)//2) parity.
+    x [B, T, Cin], w [K, Cout, Cin] (torch layout in/out swapped handled by
+    caller) -> [B, T*stride, Cout]."""
+    K = w.shape[0]
+    p = (K - stride) // 2
+    # conv_transpose == conv(dilate(x, s), flip(w)) padded by k-1-p per side:
+    # out = (T-1)s + 1 + 2(k-1-p) - (k-1) = T*s when k-s is even
+    pad = K - 1 - p
+    out = jax.lax.conv_general_dilated(
+        x,
+        jnp.flip(w, axis=0),
+        window_strides=(1,),
+        padding=[(pad, pad)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return out + b
+
+
+def _resblock1(x, params, kernel_size: int, dilations):
+    for i, d in enumerate(dilations):
+        xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        xt = _conv1d(xt, params[f"convs1_{i}_w"], params[f"convs1_{i}_b"], d)
+        xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
+        xt = _conv1d(xt, params[f"convs2_{i}_w"], params[f"convs2_{i}_b"], 1)
+        x = x + xt
+    return x
+
+
+def _resblock2(x, params, kernel_size: int, dilations):
+    for i, d in enumerate(dilations):
+        xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        xt = _conv1d(xt, params[f"convs_{i}_w"], params[f"convs_{i}_b"], d)
+        x = x + xt
+    return x
+
+
+def hifigan_generator(
+    params: Dict[str, Any], mel: jnp.ndarray, config: HiFiGANConfig
+) -> jnp.ndarray:
+    """mel [B, T, n_mels] -> wav [B, T * total_upsampling]."""
+    x = _conv1d(mel, params["conv_pre_w"], params["conv_pre_b"])
+    n_kernels = len(config.resblock_kernel_sizes)
+    resblock_fn = _resblock1 if config.resblock == "1" else _resblock2
+    for i, (u, k) in enumerate(
+        zip(config.upsample_rates, config.upsample_kernel_sizes)
+    ):
+        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        x = _conv_transpose1d(x, params[f"up_{i}_w"], params[f"up_{i}_b"], u)
+        acc = None
+        for j, (rk, dil) in enumerate(
+            zip(config.resblock_kernel_sizes, config.resblock_dilation_sizes)
+        ):
+            out = resblock_fn(x, params[f"res_{i}_{j}"], rk, dil)
+            acc = out if acc is None else acc + out
+        x = acc / n_kernels
+    x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+    x = _conv1d(x, params["conv_post_w"], params["conv_post_b"])
+    return jnp.tanh(x)[..., 0]
+
+
+def init_random_hifigan(
+    config: HiFiGANConfig, seed: int = 0
+) -> Dict[str, Any]:
+    """Random-weight generator params (for tests / stubbed vocoders — the
+    everyvoice test kit's get_stubbed_vocoder role)."""
+    rng = np.random.default_rng(seed)
+
+    def w(k, cin, cout, scale=0.02):
+        return jnp.asarray(
+            rng.standard_normal((k, cin, cout)).astype(np.float32) * scale
+        )
+
+    params: Dict[str, Any] = {}
+    ch = config.upsample_initial_channel
+    params["conv_pre_w"] = w(7, config.n_mels, ch)
+    params["conv_pre_b"] = jnp.zeros(ch)
+    for i, (u, k) in enumerate(
+        zip(config.upsample_rates, config.upsample_kernel_sizes)
+    ):
+        cout = ch // 2
+        params[f"up_{i}_w"] = w(k, ch, cout)
+        params[f"up_{i}_b"] = jnp.zeros(cout)
+        for j, (rk, dil) in enumerate(
+            zip(config.resblock_kernel_sizes, config.resblock_dilation_sizes)
+        ):
+            block: Dict[str, Any] = {}
+            for di in range(len(dil)):
+                block[f"convs1_{di}_w"] = w(rk, cout, cout)
+                block[f"convs1_{di}_b"] = jnp.zeros(cout)
+                block[f"convs2_{di}_w"] = w(rk, cout, cout)
+                block[f"convs2_{di}_b"] = jnp.zeros(cout)
+            params[f"res_{i}_{j}"] = block
+        ch = cout
+    params["conv_post_w"] = w(7, ch, 1)
+    params["conv_post_b"] = jnp.zeros(1)
+    return params
+
+
+def _fold_weight_norm(sd: dict, prefix: str) -> Optional[np.ndarray]:
+    """Return the folded conv weight for `prefix` from a torch state_dict
+    (handles plain .weight and weight-norm .weight_g/.weight_v pairs)."""
+    if f"{prefix}.weight" in sd:
+        return np.asarray(sd[f"{prefix}.weight"])
+    if f"{prefix}.weight_v" in sd:
+        v = np.asarray(sd[f"{prefix}.weight_v"])
+        g = np.asarray(sd[f"{prefix}.weight_g"])
+        norm = np.sqrt((v**2).sum(axis=(1, 2), keepdims=True))
+        return g * v / np.maximum(norm, 1e-12)
+    # torch >= 2.1 parametrized weight norm
+    if f"{prefix}.parametrizations.weight.original1" in sd:
+        v = np.asarray(sd[f"{prefix}.parametrizations.weight.original1"])
+        g = np.asarray(sd[f"{prefix}.parametrizations.weight.original0"])
+        norm = np.sqrt((v**2).sum(axis=(1, 2), keepdims=True))
+        return g * v / np.maximum(norm, 1e-12)
+    return None
+
+
+def load_torch_hifigan(
+    state_dict: dict, config: Optional[HiFiGANConfig] = None, prefix: str = ""
+) -> Tuple[Dict[str, Any], HiFiGANConfig]:
+    """Convert a canonical HiFiGAN generator torch state_dict to our pytree.
+
+    Accepts raw generator dicts or Lightning checkpoints whose keys carry a
+    'generator.' prefix. torch Conv1d weight [Cout, Cin, K] -> ours [K, Cin,
+    Cout]; ConvTranspose1d weight [Cin, Cout, K] -> ours [K, Cout→? same WIO]."""
+    sd = {
+        (k[len(prefix):] if prefix and k.startswith(prefix) else k): v
+        for k, v in state_dict.items()
+    }
+    if not any(k.startswith("conv_pre") for k in sd):
+        # try to find the generator submodule prefix automatically
+        for cand in ("generator.", "model.generator.", "g."):
+            if any(k.startswith(cand + "conv_pre") for k in sd):
+                sd = {k[len(cand):]: v for k, v in sd.items() if k.startswith(cand)}
+                break
+    if config is None:
+        config = HiFiGANConfig()
+
+    def conv(prefix):
+        w = _fold_weight_norm(sd, prefix)
+        if w is None:
+            raise KeyError(f"missing conv weights for {prefix}")
+        b = np.asarray(sd.get(f"{prefix}.bias", np.zeros(w.shape[0])))
+        # torch conv: [Cout, Cin, K] -> [K, Cin, Cout]
+        return jnp.asarray(np.transpose(w, (2, 1, 0))), jnp.asarray(b)
+
+    def convT(prefix):
+        w = _fold_weight_norm(sd, prefix)
+        if w is None:
+            raise KeyError(f"missing convT weights for {prefix}")
+        b = np.asarray(sd.get(f"{prefix}.bias", np.zeros(w.shape[1])))
+        # torch convtranspose: [Cin, Cout, K] -> WIO [K, Cin→?]; our
+        # _conv_transpose1d convolves dilated input with flipped kernel,
+        # needing [K, Cin, Cout]
+        return jnp.asarray(np.transpose(w, (2, 0, 1))), jnp.asarray(b)
+
+    params: Dict[str, Any] = {}
+    params["conv_pre_w"], params["conv_pre_b"] = conv("conv_pre")
+    n_blocks = len(config.resblock_kernel_sizes)
+    for i in range(len(config.upsample_rates)):
+        params[f"up_{i}_w"], params[f"up_{i}_b"] = convT(f"ups.{i}")
+        for j in range(n_blocks):
+            r = i * n_blocks + j
+            block: Dict[str, Any] = {}
+            dil = config.resblock_dilation_sizes[j]
+            for di in range(len(dil)):
+                if config.resblock == "1":
+                    block[f"convs1_{di}_w"], block[f"convs1_{di}_b"] = conv(
+                        f"resblocks.{r}.convs1.{di}"
+                    )
+                    block[f"convs2_{di}_w"], block[f"convs2_{di}_b"] = conv(
+                        f"resblocks.{r}.convs2.{di}"
+                    )
+                else:
+                    block[f"convs_{di}_w"], block[f"convs_{di}_b"] = conv(
+                        f"resblocks.{r}.convs.{di}"
+                    )
+            params[f"res_{i}_{j}"] = block
+    params["conv_post_w"], params["conv_post_b"] = conv("conv_post")
+    return params, config
+
+
+def make_vocoder_fn(params: Dict[str, Any], config: HiFiGANConfig):
+    """Callable (mel [B, T, K]) -> (wav [B, samples], sr) for the wav writer;
+    jitted once."""
+    gen = jax.jit(lambda p, m: hifigan_generator(p, m, config))
+
+    def vocoder(mel: np.ndarray):
+        wav = np.asarray(gen(params, jnp.asarray(mel)))
+        return wav, config.sampling_rate
+
+    return vocoder

@@ -1,0 +1,142 @@
+"""Synthesis data preparation: text chunking, language/speaker validation,
+style-reference spectrograms (parity with fs2/cli/synthesize.py:28-319)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+from typing import Any, List, Optional, Sequence
+
+from ..config import DatasetTextRepresentation
+from ..text.textsplit import chunk_text
+from ..utils import load_filelist, slugify, truncate_basename
+
+
+def validate_data_keys_with_model_keys(
+    data_keys: set, model_keys: set, key: str, multi: bool
+) -> None:
+    """fs2/cli/synthesize.py:28-72 semantics (raises instead of sys.exit)."""
+    if multi:
+        if None in data_keys:
+            raise ValueError(
+                f"You have not specified a {key} for all your sentences."
+                f" Available values are {model_keys}"
+            )
+        extras = data_keys.difference(model_keys)
+        if extras:
+            raise ValueError(
+                f"You provided {data_keys} which are not {key}s supported by "
+                f"the model {model_keys or {}}."
+            )
+    else:
+        extras = data_keys.difference(model_keys | {None})
+        if extras:
+            raise ValueError(
+                f"The current model doesn't support multiple {key}s but your "
+                f"data has {key}s {extras}. Please retrain your model with "
+                f"multi{'lingual' if key == 'language' else key} set to True."
+            )
+
+
+def get_text_split_params(
+    stats, text_representation: DatasetTextRepresentation
+) -> tuple[int, int, str, str]:
+    """(desired_length, max_length, strong, weak) from corpus stats
+    (fs2/cli/synthesize.py:75-128)."""
+    desired, maxi = 100, 200
+    try:
+        if text_representation == DatasetTextRepresentation.characters:
+            desired = int(stats.character_length.mean)
+            maxi = int(stats.character_length.max)
+        elif text_representation == DatasetTextRepresentation.ipa_phones:
+            desired = int(stats.phone_length.mean)
+            maxi = int(stats.phone_length.max)
+    except AttributeError:
+        pass
+    return desired, maxi, ".!?:;", ",-— "
+
+
+def prepare_data(
+    texts: Optional[List[str]],
+    language: Optional[str],
+    speaker: Optional[str],
+    filelist: Optional[Path],
+    config,
+    stats,
+    lang2id: dict,
+    speaker2id: dict,
+    text_representation: DatasetTextRepresentation = DatasetTextRepresentation.characters,
+    duration_control: float = 1.0,
+    style_reference: Optional[Path] = None,
+    split_text: bool = True,
+) -> List[dict]:
+    """Chunked, validated synthesis items (fs2/cli/synthesize.py:218-319)."""
+    default_language = next(iter(lang2id.keys()), None)
+    default_speaker = next(iter(speaker2id.keys()), None)
+    desired, maxi, strong, weak = get_text_split_params(stats, text_representation)
+
+    def make_items(text: str, lang, spk, basename: Optional[str] = None):
+        chunks = (
+            chunk_text(text, desired, maxi, strong, weak) if split_text else [text]
+        )
+        out = []
+        for i, chunk in enumerate(chunks):
+            out.append(
+                {
+                    "basename": basename or truncate_basename(slugify(chunk)),
+                    text_representation.value: chunk,
+                    "text": chunk,
+                    "language": lang or default_language,
+                    "speaker": spk or default_speaker,
+                    "is_last_input_chunk": i == len(chunks) - 1,
+                }
+            )
+        print(f"Processing text: {chunks}", file=sys.stderr)
+        return out
+
+    data: List[dict] = []
+    if texts:
+        for text in texts:
+            data.extend(make_items(text, language, speaker))
+    else:
+        if filelist is None:
+            raise ValueError("Filelist must be provided when texts is empty or None")
+        rows = load_filelist(filelist)
+        for d in rows:
+            line = d.get(text_representation.value) or d.get("text") or ""
+            data.extend(
+                make_items(
+                    line,
+                    language or d.get("language", default_language),
+                    speaker or d.get("speaker", default_speaker),
+                    basename=d.get("basename"),
+                )
+            )
+
+    validate_data_keys_with_model_keys(
+        {d["language"] for d in data}, set(lang2id.keys()), "language",
+        config.model.multilingual,
+    )
+    validate_data_keys_with_model_keys(
+        {d["speaker"] for d in data}, set(speaker2id.keys()), "speaker",
+        config.model.multispeaker,
+    )
+
+    if style_reference is not None:
+        from ..preprocessing.features import mel_spectrogram_numpy
+        from ..preprocessing.pipeline import load_wav
+
+        a = config.preprocessing.audio
+        audio = load_wav(Path(style_reference), a.input_sampling_rate)
+        ref = mel_spectrogram_numpy(
+            audio, a.input_sampling_rate, a.n_fft, a.fft_hop_size,
+            a.fft_window_size, a.n_mels, a.f_min, a.f_max, a.spec_type,
+        ).T  # [T, n_mels]
+    else:
+        ref = None
+
+    for item in data:
+        item["duration_control"] = duration_control
+        if ref is not None:
+            item["mel_style_reference"] = ref
+    return data

@@ -35,6 +35,7 @@ def tiny_config(**model_overrides) -> FastSpeech2Config:
                 **model_overrides,
             },
             "preprocessing": {"audio": {"n_mels": 20}},
+            "text": {"symbols": {"letters": list("abcdefghijklmnopqrstuvwxyz")}},
             "training": {"batch_size": 2},
         }
     )
