@@ -1,0 +1,282 @@
+"""Command-line interface.
+
+Same surface as the reference's typer app (fs2/cli/cli.py:15-54):
+`benchmark, preprocess, synthesize, train` plus `check-data`, with the
+everyvoice-style `--config-args/-c key.path=value` dotted overrides
+(demonstrated at fs2/tests/test_cli.py:114-128). Built on click (typer is not
+in the image); invoke as `python -m fastspeech2_lightning_tpu <cmd>`."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import click
+
+
+@click.group(
+    help="A TPU-native FastSpeech2 text-to-spec framework "
+    "(JAX/XLA/Pallas). Subcommands mirror fs2l."
+)
+def app():
+    pass
+
+
+_config_args_option = click.option(
+    "--config-args",
+    "-c",
+    "config_args",
+    multiple=True,
+    help="Dotted-path config overrides, e.g. -c training.batch_size=8",
+)
+
+
+@app.command(help="Preprocess audio/spec/attn/text/pitch/energy artifacts + stats.")
+@click.argument("config_file", type=click.Path(exists=True, path_type=Path))
+@click.option(
+    "--steps",
+    "-s",
+    multiple=True,
+    type=click.Choice(["audio", "spec", "attn", "text", "pitch", "energy"]),
+    help="Subset of preprocessing steps (default: all).",
+)
+@click.option("--cpus", type=int, default=None, help="Worker processes.")
+@_config_args_option
+def preprocess(config_file: Path, steps, cpus, config_args):
+    from ..config import load_config_base_command
+    from ..preprocessing import Preprocessor
+
+    config = load_config_base_command(config_file, list(config_args))
+    pre = Preprocessor(config)
+    result = pre.run(steps=steps or ("audio", "spec", "attn", "text", "pitch", "energy"), cpus=cpus)
+    click.echo(
+        f"Preprocessed {result['n_train']} training + {result['n_val']} "
+        f"validation utterances -> {config.preprocessing.save_dir}"
+    )
+
+
+@app.command(help="Train a text-to-spec model.")
+@click.argument("config_file", type=click.Path(exists=True, path_type=Path))
+@_config_args_option
+@click.option("--max-steps", type=int, default=None)
+@click.option("--resume/--no-resume", default=True)
+def train(config_file: Path, config_args, max_steps, resume):
+    from ..config import load_config_base_command
+    from ..training.loop import Trainer
+
+    config = load_config_base_command(config_file, list(config_args))
+    trainer = Trainer(config)
+    trainer.fit(max_steps=max_steps, resume=resume)
+
+
+@app.command(help="Synthesize audio/specs/alignments from text or a filelist.")
+@click.argument("model_path", type=click.Path(exists=True, path_type=Path))
+@click.option("--texts", "-t", multiple=True, help="Text(s) to synthesize.")
+@click.option(
+    "--filelist", "-f", type=click.Path(exists=True, path_type=Path), default=None
+)
+@click.option(
+    "--output-type",
+    "-O",
+    multiple=True,
+    type=click.Choice(["wav", "spec", "textgrid", "readalong-xml", "readalong-html"]),
+    default=("wav",),
+)
+@click.option("--language", "-l", default=None)
+@click.option("--speaker", "-s", default=None)
+@click.option("--duration-control", "-D", type=float, default=1.0)
+@click.option("--pitch-control", type=float, default=1.0)
+@click.option("--energy-control", type=float, default=1.0)
+@click.option(
+    "--vocoder-path", "-v", type=click.Path(path_type=Path), default=None
+)
+@click.option(
+    "--style-reference", type=click.Path(exists=True, path_type=Path), default=None
+)
+@click.option(
+    "--output-dir",
+    "-o",
+    type=click.Path(path_type=Path),
+    default=Path("synthesis_output"),
+)
+@click.option("--batch-size", type=int, default=None)
+@click.option("--teacher-forcing-directory", type=click.Path(path_type=Path), default=None)
+def synthesize(
+    model_path: Path,
+    texts,
+    filelist,
+    output_type,
+    language,
+    speaker,
+    duration_control,
+    pitch_control,
+    energy_control,
+    vocoder_path,
+    style_reference,
+    output_dir,
+    batch_size,
+    teacher_forcing_directory,
+):
+    from ..type_definitions import SynthesizeOutputFormats
+
+    output_type = [SynthesizeOutputFormats(o) for o in output_type]
+    if not texts and filelist is None:
+        raise click.UsageError("You must define either --text or --filelist")
+    if texts and filelist is not None:
+        raise click.UsageError("Only one of --text and --filelist may be used")
+    needs_vocoder = (
+        SynthesizeOutputFormats.wav in output_type
+        or SynthesizeOutputFormats.readalong_html in output_type
+    )
+    if needs_vocoder and vocoder_path is None:
+        raise click.UsageError(
+            "Missing --vocoder-path option. A vocoder is required for wav "
+            "and readalong-html output."
+        )
+
+    from ..synthesis.prepare import prepare_data
+    from ..synthesis.synthesize import load_model_from_checkpoint, synthesize_items
+    from ..synthesis.writers import get_synthesis_output_writers
+
+    (
+        model, variables, config, stats, lang2id, speaker2id, global_step,
+    ) = load_model_from_checkpoint(model_path)
+
+    vocoder = None
+    vocoder_global_step = 0
+    output_hop = None
+    if vocoder_path is not None:
+        from ..models.hifigan import load_vocoder_checkpoint
+
+        vocoder, vocoder_global_step, output_hop = load_vocoder_checkpoint(
+            Path(vocoder_path)
+        )
+
+    items = prepare_data(
+        texts=list(texts) or None,
+        language=language,
+        speaker=speaker,
+        filelist=filelist,
+        config=config,
+        stats=stats,
+        lang2id=lang2id,
+        speaker2id=speaker2id,
+        duration_control=duration_control,
+        style_reference=style_reference,
+    )
+    writers = get_synthesis_output_writers(
+        output_type, Path(output_dir), config,
+        "postnet_output" if config.model.use_postnet else "output",
+        global_step, vocoder=vocoder,
+        vocoder_global_step=vocoder_global_step, output_hop_size=output_hop,
+    )
+    synthesize_items(
+        items, model, variables, config, lang2id, speaker2id, writers,
+        batch_size=batch_size,
+        teacher_forcing=teacher_forcing_directory is not None,
+        control={
+            "pitch": pitch_control,
+            "energy": energy_control,
+            "duration": duration_control,
+        },
+    )
+    click.echo(f"Wrote outputs to {output_dir}")
+
+
+@app.command(help="Time forward passes (training or inference mode).")
+@click.argument("config_file", type=click.Path(exists=True, path_type=Path))
+@click.option(
+    "--benchmark-type",
+    type=click.Choice(["training", "inference"]),
+    default="training",
+)
+@click.option("--warmup-reps", type=int, default=10)
+@click.option("--repetitions", type=int, default=300)
+@_config_args_option
+def benchmark(config_file: Path, benchmark_type, warmup_reps, repetitions, config_args):
+    """Parity with fs2/cli/benchmark.py: one collated batch, warmup, timed
+    reps, mean/std ms."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from ..config import load_config_base_command
+    from ..dataset import BucketedLoader, load_datasets
+    from ..models import FastSpeech2
+    from ..preprocessing.stats import load_stats
+    from ..text import TextProcessor, lookuptables_from_config
+
+    config = load_config_base_command(config_file, list(config_args))
+    stats = load_stats(Path(config.preprocessing.save_dir) / "stats.json")
+    lang2id, speaker2id = lookuptables_from_config(config)
+    tp = TextProcessor(config.text)
+    train_ds, _ = load_datasets(config, lang2id, speaker2id)
+    loader = BucketedLoader(
+        train_ds, config.training.batch_size, seed=0,
+        max_mel_length=config.model.max_mel_length,
+    )
+    batch = next(iter(loader))
+    drop = {"basename", "speaker", "language", "raw_text", "is_last_input_chunk",
+            "max_src_len", "max_mel_len"}
+    device_batch = {k: v for k, v in batch.items() if k not in drop}
+
+    model = FastSpeech2(
+        config=config, stats=stats, n_symbols=len(tp.symbols),
+        n_speakers=max(len(speaker2id), 1), n_languages=max(len(lang2id), 1),
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        device_batch, deterministic=True,
+    )
+    inference = benchmark_type == "inference"
+
+    def fn(variables, batch):
+        return model.apply(
+            variables, batch, inference=inference, deterministic=True,
+            max_target_len=config.model.max_mel_length if inference else None,
+        )["output"]
+
+    jf = jax.jit(fn)
+    for _ in range(warmup_reps):
+        out = jf(variables, device_batch)
+    jax.block_until_ready(out)
+    timings = np.zeros(repetitions)
+    for rep in range(repetitions):
+        t0 = time.perf_counter()
+        jf(variables, device_batch).block_until_ready()
+        timings[rep] = (time.perf_counter() - t0) * 1000
+    click.echo(
+        f"Average forward pass for {benchmark_type} duration after "
+        f"{repetitions} repetitions: {timings.mean()} ms "
+        f"Standard Deviation: {timings.std()}"
+    )
+
+
+@app.command("check-data", help="Dataset QA: stats, clipping, per-utterance loss scores.")
+@click.argument("config_file", type=click.Path(exists=True, path_type=Path))
+@click.option(
+    "--filelist", "-f", type=click.Path(exists=True, path_type=Path), default=None
+)
+@click.option("--calculate-stats/--no-calculate-stats", default=True)
+@click.option("--model-path", type=click.Path(path_type=Path), default=None,
+              help="Score utterances by model loss using this checkpoint.")
+@click.option("--output-dir", "-o", type=click.Path(path_type=Path),
+              default=Path("checked_data"))
+@_config_args_option
+def check_data(config_file: Path, filelist, calculate_stats, model_path, output_dir, config_args):
+    from ..config import load_config_base_command
+    from ..cli.check_data import check_data_command
+
+    config = load_config_base_command(config_file, list(config_args))
+    check_data_command(
+        config, filelist, calculate_stats, model_path, Path(output_dir)
+    )
+
+
+def main():
+    app(prog_name="fs2t")
+
+
+if __name__ == "__main__":
+    main()

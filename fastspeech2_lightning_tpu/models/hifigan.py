@@ -245,6 +245,68 @@ def load_torch_hifigan(
     return params, config
 
 
+def load_vocoder_checkpoint(path):
+    """Load a vocoder from disk -> (vocoder_fn, global_step, output_hop_size).
+
+    Accepts a torch/Lightning HiFiGAN checkpoint (.ckpt/.pt — the reference's
+    handoff format, fs2/cli/synthesize.py:656-667) or an .npz of our own
+    parameter pytree."""
+    from pathlib import Path as _P
+
+    path = _P(path)
+    global_step = 0
+    config = HiFiGANConfig()
+    if path.suffix in (".ckpt", ".pt", ".pth"):
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(ckpt, dict) and "state_dict" in ckpt:
+            sd = ckpt["state_dict"]
+            global_step = int(ckpt.get("global_step", 0))
+            hp = ckpt.get("hyper_parameters", {})
+            cfg_dict = hp.get("config", {}) if isinstance(hp, dict) else {}
+            if isinstance(cfg_dict, dict):
+                mdl = cfg_dict.get("model", {})
+                audio = cfg_dict.get("preprocessing", {}).get("audio", {})
+                config = HiFiGANConfig(
+                    resblock=str(mdl.get("resblock", "1")),
+                    upsample_rates=tuple(mdl.get("upsample_rates", (8, 8, 2, 2))),
+                    upsample_kernel_sizes=tuple(
+                        mdl.get("upsample_kernel_sizes", (16, 16, 4, 4))
+                    ),
+                    upsample_initial_channel=mdl.get(
+                        "upsample_initial_channel", 512
+                    ),
+                    resblock_kernel_sizes=tuple(
+                        mdl.get("resblock_kernel_sizes", (3, 7, 11))
+                    ),
+                    resblock_dilation_sizes=tuple(
+                        tuple(d) for d in mdl.get(
+                            "resblock_dilation_sizes",
+                            ((1, 3, 5), (1, 3, 5), (1, 3, 5)),
+                        )
+                    ),
+                    n_mels=audio.get("n_mels", 80),
+                    sampling_rate=audio.get("output_sampling_rate", 22050),
+                    hop_size=audio.get("fft_hop_size", 256),
+                )
+        else:
+            sd = ckpt.get("generator", ckpt) if isinstance(ckpt, dict) else ckpt
+        sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+        params, config = load_torch_hifigan(sd, config)
+    elif path.suffix == ".npz":
+        loaded = np.load(path, allow_pickle=True)
+        params = loaded["params"].item()
+        if "config" in loaded:
+            config = HiFiGANConfig(**loaded["config"].item())
+        global_step = int(loaded.get("global_step", 0))
+    else:
+        raise ValueError(f"Unsupported vocoder checkpoint format: {path}")
+    # output hop in model-frame units: upsampling factor relative to our hop
+    output_hop = config.total_upsampling
+    return make_vocoder_fn(params, config), global_step, output_hop
+
+
 def make_vocoder_fn(params: Dict[str, Any], config: HiFiGANConfig):
     """Callable (mel [B, T, K]) -> (wav [B, samples], sr) for the wav writer;
     jitted once."""

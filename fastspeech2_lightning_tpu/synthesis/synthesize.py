@@ -1,0 +1,134 @@
+"""Synthesis orchestration (synthesize_helper parity,
+fs2/cli/synthesize.py:333-462): prepared items -> batched jitted predict ->
+writer callbacks, with teacher forcing and scoring modes."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..config import FastSpeech2Config
+from ..dataset import FastSpeechDataset, collate
+from ..models import FastSpeech2
+from ..text import TextProcessor
+from ..training.checkpoint import get_global_step, load_checkpoint
+from ..training.loss import compute_loss
+from ..training.state import TrainState, create_train_state, make_optimizer
+from ..type_definitions import Stats, SynthesizeOutputFormats
+from .writers import get_synthesis_output_writers
+
+
+def load_model_from_checkpoint(ckpt_path: Path):
+    """(model, variables, config, stats, lang2id, speaker2id, global_step)."""
+    ckpt_path = Path(ckpt_path)
+    meta, arrays = load_checkpoint(ckpt_path)
+    config = FastSpeech2Config.model_validate(meta["config"])
+    stats = Stats(**meta["stats"]) if meta.get("stats") else None
+    tp = TextProcessor(config.text)
+    model = FastSpeech2(
+        config=config,
+        stats=stats,
+        n_symbols=max(len(tp.symbols), len(meta.get("symbols", []))),
+        n_speakers=max(len(meta.get("speaker2id", {})), 1),
+        n_languages=max(len(meta.get("lang2id", {})), 1),
+    )
+    variables = {"params": arrays["params"]}
+    if arrays.get("batch_stats") is not None:
+        variables["batch_stats"] = arrays["batch_stats"]
+    if arrays.get("constants") is not None:
+        variables["constants"] = arrays["constants"]
+    return (
+        model,
+        variables,
+        config,
+        stats,
+        meta.get("lang2id", {}),
+        meta.get("speaker2id", {}),
+        meta.get("global_step", 0),
+    )
+
+
+def synthesize_items(
+    items: List[dict],
+    model: FastSpeech2,
+    variables: Dict[str, Any],
+    config: FastSpeech2Config,
+    lang2id: dict,
+    speaker2id: dict,
+    writers: Dict[Any, Any],
+    batch_size: Optional[int] = None,
+    teacher_forcing: bool = False,
+    return_scores: bool = False,
+    control: Optional[Dict[str, float]] = None,
+    max_target_len: Optional[int] = None,
+) -> None:
+    """Run batched inference over prepared items, driving the writers."""
+    batch_size = batch_size or config.training.batch_size
+    if return_scores:
+        batch_size = 1  # per-utterance scores (check_data.py:194-217)
+    style_reference = any("mel_style_reference" in it for it in items)
+    ds = FastSpeechDataset(
+        items, config, lang2id, speaker2id,
+        teacher_forcing=teacher_forcing, inference=True,
+        style_reference=style_reference,
+    )
+    max_target_len = max_target_len or config.model.max_mel_length
+    ctrl = {
+        "pitch": np.float32((control or {}).get("pitch", 1.0)),
+        "energy": np.float32((control or {}).get("energy", 1.0)),
+        "duration": np.float32((control or {}).get("duration", 1.0)),
+    }
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("teacher_forcing", "max_len"))
+    def predict(variables, batch, ctrl, teacher_forcing, max_len):
+        return model.apply(
+            variables, batch, control=ctrl, inference=True,
+            teacher_forcing=teacher_forcing, deterministic=True,
+            max_target_len=max_len,
+        )
+
+    host_keys = {
+        "basename", "speaker", "language", "raw_text", "is_last_input_chunk",
+        "max_src_len", "max_mel_len",
+    }
+    from ..dataset import _round_up, PAD_MULT_TEXT
+
+    for start in range(0, len(ds), batch_size):
+        samples = [ds[i] for i in range(start, min(start + batch_size, len(ds)))]
+        # pad text to a multiple of 16 so distinct input lengths share a small
+        # set of compiled programs (static-shape discipline, SURVEY.md §5.7)
+        pad_text = _round_up(
+            max(s["text"].shape[0] for s in samples), PAD_MULT_TEXT
+        )
+        batch = collate(
+            samples, learn_alignment=config.model.learn_alignment,
+            pad_text_to=pad_text,
+            pad_mel_to=None if samples[0].get("mel") is not None else max_target_len,
+        )
+        device_batch = {k: v for k, v in batch.items() if k not in host_keys}
+        # rename: at inference the aligner prior is not used; precomputed
+        # duration field only exists under teacher forcing
+        out = predict(
+            variables, device_batch, ctrl, teacher_forcing,
+            int(batch["max_mel_len"] or max_target_len),
+        )
+        out_host = jax.tree_util.tree_map(
+            lambda x: np.asarray(x) if hasattr(x, "shape") else x, out
+        )
+        if return_scores:
+            losses = compute_loss(config, out, device_batch, 0)
+            out_host["losses"] = {
+                k: float(v) for k, v in losses.items()
+            }
+        for writer in writers.values():
+            writer.on_predict_batch_end(out_host, batch)
+
+    for writer in writers.values():
+        if hasattr(writer, "finalize"):
+            writer.finalize()

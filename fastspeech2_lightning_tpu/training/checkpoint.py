@@ -171,15 +171,28 @@ def check_and_upgrade_checkpoint(
 
 
 def load_checkpoint(
-    ckpt_path: Path, current_symbols: Optional[list[str]] = None
+    ckpt_path: Path,
+    current_symbols: Optional[list[str]] = None,
+    template: Optional[dict] = None,
 ) -> tuple[dict, dict]:
     """(meta, arrays) with version checks applied. arrays holds numpy pytrees
-    for params/opt_state/batch_stats."""
+    for params/opt_state/batch_stats. Pass `template` (a pytree of the same
+    structure, e.g. a freshly created TrainState's fields) to restore exact
+    container types — without it orbax returns lists for tuples."""
     ckpt_path = Path(ckpt_path)
     with open(ckpt_path / "meta.json", "r", encoding="utf8") as f:
         meta = json.load(f)
     ckptr = ocp.StandardCheckpointer()
-    arrays = ckptr.restore((ckpt_path / "arrays").resolve())
+    if template is not None:
+        abstract = jax.tree_util.tree_map(
+            lambda x: ocp.utils.to_shape_dtype_struct(x)
+            if hasattr(x, "shape")
+            else x,
+            template,
+        )
+        arrays = ckptr.restore((ckpt_path / "arrays").resolve(), abstract)
+    else:
+        arrays = ckptr.restore((ckpt_path / "arrays").resolve())
     if current_symbols is None:
         current_symbols = meta.get("symbols", [])
     meta, arrays = check_and_upgrade_checkpoint(meta, arrays, current_symbols)

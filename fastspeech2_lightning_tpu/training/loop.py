@@ -111,14 +111,17 @@ class Trainer:
         if start_path is None and config.training.finetune_checkpoint:
             start_path = Path(config.training.finetune_checkpoint)
         if start_path is not None:
+            template = {"params": state.params, "opt_state": state.opt_state}
+            if state.batch_stats is not None:
+                template["batch_stats"] = state.batch_stats
+            if state.constants is not None:
+                template["constants"] = state.constants
             meta, arrays = load_checkpoint(
-                start_path, self.text_processor.symbols
+                start_path, self.text_processor.symbols, template=template
             )
             state = state.replace(
                 params=arrays["params"],
-                opt_state=jax.tree_util.tree_map(
-                    lambda a, b: b, state.opt_state, arrays["opt_state"]
-                ),
+                opt_state=arrays["opt_state"],
                 batch_stats=arrays.get("batch_stats", state.batch_stats),
                 step=meta["global_step"],
             )
