@@ -163,9 +163,17 @@ class Preprocessor:
         n_frames = 1 + len(audio) // a.fft_hop_size
         pitch = energy = None
         if "pitch" in steps:
-            pitch = estimate_f0(
-                audio, a.input_sampling_rate, a.fft_hop_size, n_frames
-            )
+            # native C++ YIN when the toolchain is available; NumPy golden otherwise
+            from .. import native
+
+            if native.available():
+                pitch = native.yin_f0_native(
+                    audio, a.input_sampling_rate, a.fft_hop_size, n_frames
+                )
+            else:
+                pitch = estimate_f0(
+                    audio, a.input_sampling_rate, a.fft_hop_size, n_frames
+                )
             out = self.artifact_path("pitch", basename, speaker, language, "pitch.npy")
             out.parent.mkdir(parents=True, exist_ok=True)
             np.save(out, pitch)
