@@ -71,7 +71,9 @@ def ctc_forward_sum(
         new_alpha = jnp.maximum(new_alpha, NEG_INF)
         return new_alpha, new_alpha
 
-    _, alphas = jax.lax.scan(step, alpha0, jnp.swapaxes(logprobs, 0, 1)[1:])
+    _, alphas = jax.lax.scan(
+        step, alpha0, jnp.swapaxes(logprobs, 0, 1)[1:], unroll=8
+    )
     alphas = jnp.concatenate(
         [alpha0[None], alphas], axis=0
     )  # [T, B, S]

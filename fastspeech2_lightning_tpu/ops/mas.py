@@ -43,7 +43,11 @@ def _forward_logp(log_attn: jnp.ndarray) -> jnp.ndarray:
         row = jnp.maximum(row, NEG_INF)  # keep finite
         return row, row
 
-    _, rest = jax.lax.scan(step, first, jnp.swapaxes(log_attn, 0, 1)[1:])
+    # unroll: the per-step work is one [B, L] vector op — loop overhead
+    # dominates without it
+    _, rest = jax.lax.scan(
+        step, first, jnp.swapaxes(log_attn, 0, 1)[1:], unroll=16
+    )
     return jnp.concatenate([first[:, None, :], jnp.swapaxes(rest, 0, 1)], axis=1)
 
 
@@ -68,7 +72,7 @@ def _backtrack(log_p: jnp.ndarray, in_lens: jnp.ndarray, out_lens: jnp.ndarray):
         return j_next, j
 
     idxs = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
-    _, path_rev = jax.lax.scan(step, j_init, idxs)
+    _, path_rev = jax.lax.scan(step, j_init, idxs, unroll=16)
     return jnp.flip(jnp.swapaxes(path_rev, 0, 1), axis=1)  # [B, T]
 
 
@@ -87,7 +91,10 @@ def mas_width1_batched(
         frames; durations: [B, L_text] int32 column sums.
     """
     B, T, L = log_attn.shape
-    log_attn = log_attn.astype(jnp.float32)
+    # binarization receives no gradient (reference runs it under no_grad,
+    # fs2/variance_adaptor.py:167) — stop_gradient keeps the DP out of the
+    # backward graph entirely
+    log_attn = jax.lax.stop_gradient(log_attn.astype(jnp.float32))
     j_ids = jnp.arange(L)[None, None, :]
     i_ids = jnp.arange(T)[None, :, None]
     valid = (j_ids < in_lens[:, None, None]) & (i_ids < out_lens[:, None, None])
