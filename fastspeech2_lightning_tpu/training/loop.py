@@ -173,8 +173,94 @@ class Trainer:
         sums: dict = {}
         n = 0
         for batch in val_loader:
-            losses, _ = eval_step(state, _device_batch(batch), epoch)
+            losses, out = eval_step(state, _device_batch(batch), epoch)
+            if n == 0:
+                try:
+                    self._log_validation_media(state, batch, out)
+                except Exception as e:  # media logging must never kill training
+                    print(f"validation media logging failed: {e}")
             for k, v in losses.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             n += 1
         return {k: v / max(n, 1) for k, v in sums.items()}
+
+    def _log_validation_media(self, state, batch, out) -> None:
+        """Rich validation logging (parity with fs2/model.py:439-528):
+        soft/hard attention figures, GT-vs-predicted mel figures with
+        denormalized pitch/energy overlays, predicted audio via the vocoder."""
+        if self.writer is None or self.writer is False:
+            self._log("noop/init", 0.0, 0)  # ensure writer exists
+        if not self.writer:
+            return
+        import numpy as np
+
+        from ..utils.plotting import expand, plot_attn_maps, plot_mel
+
+        step = int(state.step)
+        host = lambda x: np.asarray(x)  # noqa: E731
+        if self.config.model.learn_alignment and out["attn_soft"] is not None:
+            figs = plot_attn_maps(
+                host(out["attn_soft"]),
+                host(out["attn_hard"]),
+                host(batch["mel_lens"]),
+                host(batch["src_lens"]),
+                n=1,
+            )
+            for i, fig in enumerate(figs):
+                self.writer.add_figure(
+                    f"attention/{batch['basename'][i]}", fig, step
+                )
+
+        if self.stats is not None:
+            duration_np = host(out["duration_target"])[0]
+            gt_pitch = host(batch["pitch"])[0]
+            gt_energy = host(batch["energy"])[0]
+            pred_pitch = host(out["pitch_prediction"])[0]
+            pred_energy = host(out["energy_prediction"])[0]
+            if self.config.model.variance_predictors.pitch.level.value == "phone":
+                pred_pitch = expand(pred_pitch, duration_np)
+                if not self.config.model.learn_alignment:
+                    gt_pitch = expand(gt_pitch, duration_np)
+            if self.config.model.variance_predictors.energy.level.value == "phone":
+                pred_energy = expand(pred_energy, duration_np)
+                if not self.config.model.learn_alignment:
+                    gt_energy = expand(gt_energy, duration_np)
+            output_key = (
+                "postnet_output" if self.config.model.use_postnet else "output"
+            )
+            fig = plot_mel(
+                [
+                    {
+                        "mel": host(batch["mel"])[0].T,
+                        "pitch": gt_pitch,
+                        "energy": gt_energy,
+                    },
+                    {
+                        "mel": host(out[output_key])[0].T,
+                        "pitch": pred_pitch,
+                        "energy": pred_energy,
+                    },
+                ],
+                self.stats,
+                ["Ground-Truth Spectrogram", "Synthesized Spectrogram"],
+            )
+            self.writer.add_figure(
+                f"pred/spec_{batch['basename'][0]}", fig, step
+            )
+
+        if self.config.training.vocoder_path:
+            try:
+                from ..models.hifigan import load_vocoder_checkpoint
+
+                vocoder, _, _ = load_vocoder_checkpoint(
+                    Path(self.config.training.vocoder_path)
+                )
+                output_key = (
+                    "postnet_output" if self.config.model.use_postnet else "output"
+                )
+                wav, sr = vocoder(host(out[output_key])[:1])
+                self.writer.add_audio(
+                    f"pred/wav_{batch['basename'][0]}", wav[0], step, sr
+                )
+            except Exception as e:
+                print(f"vocoder audio logging failed: {e}")
