@@ -126,6 +126,7 @@ def check_and_upgrade_checkpoint(
 ) -> tuple[dict, dict]:
     """Version gate + migrations (fs2/model.py:270-351 semantics)."""
     model_info = meta.get("model_info", {"name": MODEL_NAME, "version": "1.0"})
+    meta["model_info"] = model_info
 
     name = model_info.get("name", "MISSING_TYPE")
     if name != MODEL_NAME:

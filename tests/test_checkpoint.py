@@ -1,0 +1,129 @@
+"""Checkpoint versioning/migration tests (parity with the reference's
+fs2/tests/test_loading.py:23-203 patterns): wrong model type, newer versions,
+<1.2 embedding-table remap, top-k pruning, global-step recovery, and a full
+save->load->identical-predictions roundtrip."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from fastspeech2_lightning_tpu.models import FastSpeech2
+from fastspeech2_lightning_tpu.training.checkpoint import (
+    check_and_upgrade_checkpoint,
+    get_global_step,
+    latest_checkpoint,
+    load_checkpoint,
+    prune_checkpoints,
+    save_checkpoint,
+)
+from fastspeech2_lightning_tpu.training.state import create_train_state
+
+from helpers import synthetic_batch, tiny_config, tiny_stats
+
+
+def make_state(cfg):
+    model = FastSpeech2(
+        config=cfg, stats=tiny_stats(), n_symbols=30, n_speakers=1, n_languages=1
+    )
+    rng = np.random.default_rng(0)
+    batch = synthetic_batch(rng)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
+    return model, state, batch
+
+
+def test_save_load_roundtrip(tmp_path):
+    cfg = tiny_config()
+    model, state, batch = make_state(cfg)
+    path = save_checkpoint(
+        tmp_path, state, cfg, tiny_stats(), {"default": 0}, {"default": 0},
+        ["\x80", " ", "a", "b"], metrics={"validation/total_loss": 1.5},
+    )
+    assert path.name == "step=0"
+    meta, arrays = load_checkpoint(path)
+    assert meta["model_info"] == {"name": "FastSpeech2", "version": "1.2"}
+    assert get_global_step(path) == 0
+    # params identical
+    orig = jax.tree_util.tree_leaves(state.params)
+    loaded = jax.tree_util.tree_leaves(arrays["params"])
+    assert all(np.allclose(a, b) for a, b in zip(orig, loaded))
+    # model produces identical outputs from restored params
+    out1 = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats}, batch
+    )
+    out2 = model.apply(
+        {"params": arrays["params"], "batch_stats": arrays["batch_stats"]}, batch
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1["output"]), np.asarray(out2["output"]), rtol=1e-6
+    )
+
+
+def test_wrong_model_type_rejected():
+    with pytest.raises(TypeError, match="Wrong model type"):
+        check_and_upgrade_checkpoint(
+            {"model_info": {"name": "HiFiGAN", "version": "1.0"}}, {}, []
+        )
+
+
+def test_newer_version_rejected():
+    with pytest.raises(ValueError, match="newer version"):
+        check_and_upgrade_checkpoint(
+            {"model_info": {"name": "FastSpeech2", "version": "99.0"}}, {}, []
+        )
+
+
+def test_old_pfs_model_rejected():
+    meta = {
+        "model_info": {"name": "FastSpeech2", "version": "1.1"},
+        "config": {
+            "model": {"target_text_representation_level": "phonological_features"}
+        },
+    }
+    with pytest.raises(ValueError, match="phonological-feature"):
+        check_and_upgrade_checkpoint(meta, {}, [])
+
+
+def test_pre_1_2_symbol_remap():
+    old_symbols = ["\x80", " ", "b", "a"]
+    new_symbols = ["\x80", " ", "<EXCL>", "a", "b", "c"]
+    emb = np.arange(4 * 3, dtype=np.float32).reshape(4, 3)
+    meta = {
+        "model_info": {"name": "FastSpeech2", "version": "1.1"},
+        "config": {"model": {"target_text_representation_level": "characters"}},
+        "symbols": old_symbols,
+    }
+    arrays = {"params": {"text_input_layer": {"embedding": emb.copy()}}}
+    meta, arrays = check_and_upgrade_checkpoint(meta, arrays, new_symbols)
+    new = arrays["params"]["text_input_layer"]["embedding"]
+    assert new.shape == (6, 3)
+    # row for 'b' moved from old index 2 to new index 4; 'a' from 3 to 3
+    np.testing.assert_array_equal(new[4], emb[2])
+    np.testing.assert_array_equal(new[3], emb[3])
+    np.testing.assert_array_equal(new[1], emb[1])
+    assert meta["model_info"]["version"] == "1.2"
+
+
+def test_missing_model_info_defaults_to_1_0():
+    meta, _ = check_and_upgrade_checkpoint(
+        {"config": {"model": {}}, "symbols": []}, {"params": {"text_input_layer": {"embedding": np.zeros((0, 4))}}}, []
+    )
+    assert meta["model_info"]["version"] in ("1.0", "1.2")
+
+
+def test_prune_checkpoints_keeps_topk_and_latest(tmp_path):
+    cfg = tiny_config()
+    _, state, _ = make_state(cfg)
+    monitor = "validation/total_loss"
+    for step, loss in [(1, 5.0), (2, 1.0), (3, 3.0), (4, 2.0), (5, 4.0)]:
+        state = state.replace(step=step)
+        save_checkpoint(
+            tmp_path, state, cfg, tiny_stats(), {}, {}, [],
+            metrics={monitor: loss},
+        )
+    prune_checkpoints(tmp_path, keep_top_k=2, monitor=monitor)
+    kept = sorted(p.name for p in tmp_path.glob("step=*"))
+    # best two (steps 2, 4) + latest (step 5)
+    assert kept == ["step=2", "step=4", "step=5"]
+    assert latest_checkpoint(tmp_path).name == "step=5"
