@@ -141,3 +141,80 @@ def test_grad_flows():
     # encoder gets gradient signal
     gnorm = sum(float(jnp.sum(g * g)) for g in flat)
     assert gnorm > 0
+
+
+def test_frame_level_variances():
+    rng = np.random.default_rng(7)
+    cfg, model = build(learn_alignment=True)
+    cfg.model.variance_predictors.pitch.level = "frame"
+    cfg.model.variance_predictors.energy.level = "frame"
+    model = FastSpeech2(
+        config=cfg, stats=model.stats, n_symbols=N_SYMBOLS, n_speakers=2, n_languages=2
+    )
+    batch = synthetic_batch(rng, learn_alignment=True)
+    _, out = init_and_apply(model, batch)
+    # frame-level predictions span mel frames
+    assert out["pitch_prediction"].shape == (2, 48)
+    assert out["energy_prediction"].shape == (2, 48)
+    losses = compute_loss(cfg, out, batch, 1)
+    assert np.isfinite(float(losses["total"]))
+
+
+def test_pfs_input_path():
+    from fastspeech2_lightning_tpu.text.features import N_PHONOLOGICAL_FEATURES
+
+    rng = np.random.default_rng(8)
+    cfg, _ = build(
+        learn_alignment=True,
+        target_text_representation_level="phonological_features",
+    )
+    model = FastSpeech2(
+        config=cfg, stats=tiny_stats(), n_symbols=N_SYMBOLS, n_speakers=1, n_languages=1
+    )
+    batch = synthetic_batch(rng, learn_alignment=True)
+    B, L = batch["text"].shape
+    batch["pfs"] = rng.standard_normal((B, L, N_PHONOLOGICAL_FEATURES)).astype(
+        np.float32
+    )
+    variables, out = init_and_apply(model, batch)
+    # bias-free linear input layer (fs2/model.py:77-81)
+    til = variables["params"]["text_input_layer"]
+    assert "kernel" in til and "bias" not in til
+    assert np.isfinite(np.asarray(out["output"])).all()
+
+
+def test_teacher_forcing_inference():
+    rng = np.random.default_rng(9)
+    cfg, model = build(learn_alignment=True)
+    batch = synthetic_batch(rng, learn_alignment=True)
+    variables, _ = init_and_apply(model, batch)
+    out = model.apply(
+        variables, batch, inference=True, teacher_forcing=True, deterministic=True
+    )
+    # teacher forcing pins output length to the target mel length
+    assert out["output"].shape[1] == batch["mel"].shape[1]
+    np.testing.assert_array_equal(np.asarray(out["tgt_lens"]), batch["mel_lens"])
+
+
+def test_duration_control_scales_length():
+    rng = np.random.default_rng(10)
+    cfg, model = build(learn_alignment=True)
+    train_batch = synthetic_batch(rng, learn_alignment=True)
+    variables, _ = init_and_apply(model, train_batch)
+    inf_batch = synthetic_batch(rng, learn_alignment=True, inference=True)
+
+    def run(mult):
+        control = {
+            "pitch": jnp.float32(1.0),
+            "energy": jnp.float32(1.0),
+            "duration": jnp.float32(mult),
+        }
+        out = model.apply(
+            variables, inf_batch, control=control, inference=True,
+            deterministic=True, max_target_len=64,
+        )
+        return np.asarray(out["duration_rounded"]).sum()
+
+    slow = run(2.0)
+    fast = run(0.5)
+    assert slow >= fast
