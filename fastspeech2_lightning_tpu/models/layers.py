@@ -27,6 +27,24 @@ def fastpitch_positional_embedding(
     return emb[:, :dim].astype(dtype)
 
 
+def sinusoidal_positional_embedding(
+    num_embeddings: int, embedding_dim: int, padding_idx: Optional[int] = None
+) -> jnp.ndarray:
+    """tensor2tensor-style sinusoidal table (parity with the reference's
+    SinusoidalPositionalEmbedding.get_embedding, fs2/layers.py:67-87 — unused
+    by the model, kept for API parity)."""
+    half_dim = embedding_dim // 2
+    emb = jnp.log(10000.0) / (half_dim - 1)
+    emb = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+    emb = jnp.arange(num_embeddings, dtype=jnp.float32)[:, None] * emb[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.concatenate([emb, jnp.zeros((num_embeddings, 1))], axis=1)
+    if padding_idx is not None:
+        emb = emb.at[padding_idx].set(0.0)
+    return emb
+
+
 class DepthwiseSeparableConv1d(nn.Module):
     """Depthwise conv + pointwise conv (fs2/blocks.py:4-19)."""
 

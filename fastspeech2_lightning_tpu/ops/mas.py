@@ -137,6 +137,32 @@ def mas_width1_numpy(log_attn_map: np.ndarray) -> np.ndarray:
     return opt
 
 
+def mas_numpy(log_attn_map: np.ndarray, width: int = 1) -> np.ndarray:
+    """Generic-width host MAS (parity with the reference's `mas` kernel,
+    fs2/attn/alignment.py:21-45 — unused by the model, kept for API parity).
+    Allows the path to jump up to `width` text positions per mel frame."""
+    T, L = log_attn_map.shape
+    opt = np.zeros_like(log_attn_map, dtype=np.float32)
+    log_attn = log_attn_map.astype(np.float64).copy()
+    log_attn[0, 1:] = -np.inf
+    log_p = np.zeros_like(log_attn)
+    log_p[0, :] = log_attn[0, :]
+    prev_ind = np.zeros_like(log_attn, dtype=np.int64)
+    for i in range(1, T):
+        for j in range(L):
+            prev_j = np.arange(max(0, j - width), j + 1)
+            prev_log = np.array([log_p[i - 1, pj] for pj in prev_j])
+            ind = int(np.argmax(prev_log))
+            log_p[i, j] = log_attn[i, j] + prev_log[ind]
+            prev_ind[i, j] = prev_j[ind]
+    curr = L - 1
+    for i in range(T - 1, -1, -1):
+        opt[i, curr] = 1
+        curr = prev_ind[i, curr]
+    opt[0, curr] = 1
+    return opt
+
+
 def b_mas_numpy(
     b_log_attn: np.ndarray, in_lens: np.ndarray, out_lens: np.ndarray
 ) -> np.ndarray:

@@ -1,0 +1,73 @@
+"""Stub fixture kit tests: stubbed checkpoints load through the real paths
+and drive wav synthesis end to end (the everyvoice get_stubbed_* pattern)."""
+
+import numpy as np
+
+from fastspeech2_lightning_tpu.testing import get_stubbed_model, get_stubbed_vocoder
+
+
+def test_stubbed_model_roundtrip(tmp_path):
+    from fastspeech2_lightning_tpu.synthesis.synthesize import (
+        load_model_from_checkpoint,
+    )
+
+    _, ckpt_path = get_stubbed_model(tmp_path)
+    model, variables, config, stats, lang2id, speaker2id, step = (
+        load_model_from_checkpoint(ckpt_path)
+    )
+    assert step == 0
+    assert lang2id == {"default": 0}
+    assert config.model.encoder.input_dim == 32
+
+
+def test_stubbed_vocoder_roundtrip(tmp_path):
+    from fastspeech2_lightning_tpu.models.hifigan import load_vocoder_checkpoint
+
+    vocoder, path = get_stubbed_vocoder(tmp_path)
+    loaded, step, hop = load_vocoder_checkpoint(path)
+    assert hop == 256  # 8*8*2*2
+    mel = np.zeros((1, 7, 20), dtype=np.float32)
+    wav1, sr1 = vocoder(mel)
+    wav2, sr2 = loaded(mel)
+    assert wav1.shape == wav2.shape == (1, 7 * 256)
+    np.testing.assert_allclose(wav1, wav2, rtol=1e-5, atol=1e-6)
+
+
+def test_stubbed_model_synthesizes_wav(tmp_path):
+    """Full wav path with the stub vocoder (mirrors
+    fs2/tests/test_writing_callbacks.py:263 pattern)."""
+    from fastspeech2_lightning_tpu.synthesis.prepare import prepare_data
+    from fastspeech2_lightning_tpu.synthesis.synthesize import (
+        load_model_from_checkpoint,
+        synthesize_items,
+    )
+    from fastspeech2_lightning_tpu.synthesis.writers import (
+        get_synthesis_output_writers,
+    )
+    from fastspeech2_lightning_tpu.type_definitions import SynthesizeOutputFormats
+
+    _, ckpt_path = get_stubbed_model(tmp_path / "model")
+    vocoder, _ = get_stubbed_vocoder(tmp_path / "vocoder")
+    model, variables, config, stats, lang2id, speaker2id, step = (
+        load_model_from_checkpoint(ckpt_path)
+    )
+    items = prepare_data(
+        texts=["hello world"], language=None, speaker=None, filelist=None,
+        config=config, stats=stats, lang2id=lang2id, speaker2id=speaker2id,
+    )
+    out_dir = tmp_path / "out"
+    writers = get_synthesis_output_writers(
+        [SynthesizeOutputFormats.wav], out_dir, config, "postnet_output",
+        step, vocoder=vocoder, vocoder_global_step=0, output_hop_size=256,
+    )
+    synthesize_items(
+        items, model, variables, config, lang2id, speaker2id, writers,
+        max_target_len=128,
+    )
+    wavs = list((out_dir / "wav").glob("*.wav"))
+    assert len(wavs) == 1
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(wavs[0])
+    assert sr == 22050
+    assert data.dtype == np.int16
