@@ -15,6 +15,8 @@ FFN, final LayerNorm. Differences, deliberate and TPU-motivated:
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -53,15 +55,16 @@ class MaskedBatchNorm(nn.Module):
 class FeedForwardModule(nn.Module):
     ffn_dim: int
     dropout: float
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
         d = x.shape[-1]
-        x = nn.LayerNorm(name="norm")(x)
-        x = nn.Dense(self.ffn_dim, name="linear1")(x)
+        x = nn.LayerNorm(name="norm", dtype=self.dtype)(x)
+        x = nn.Dense(self.ffn_dim, name="linear1", dtype=self.dtype)(x)
         x = nn.silu(x)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        x = nn.Dense(d, name="linear2")(x)
+        x = nn.Dense(d, name="linear2", dtype=self.dtype)(x)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         return x
 
@@ -69,6 +72,7 @@ class FeedForwardModule(nn.Module):
 class SelfAttentionModule(nn.Module):
     num_heads: int
     dropout: float
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool):
@@ -76,18 +80,21 @@ class SelfAttentionModule(nn.Module):
         B, T, d = x.shape
         h = self.num_heads
         dh = d // h
-        x = nn.LayerNorm(name="norm")(x)
-        qkv = nn.Dense(3 * d, name="qkv")(x)  # fused projection
+        x = nn.LayerNorm(name="norm", dtype=self.dtype)(x)
+        qkv = nn.Dense(3 * d, name="qkv", dtype=self.dtype)(x)  # fused projection
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, T, h, dh)
         k = k.reshape(B, T, h, dh)
         v = v.reshape(B, T, h, dh)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(dh).astype(x.dtype)
-        bias = jnp.where(mask[:, None, None, :], 0.0, -1e9).astype(scores.dtype)
-        weights = nn.softmax(scores + bias, axis=-1)
+        # scores + softmax in f32 for stability; matmuls on the MXU
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(dh)
+        bias = jnp.where(mask[:, None, None, :], 0.0, -1e9)
+        weights = nn.softmax(scores + bias, axis=-1).astype(self.dtype)
         weights = nn.Dropout(self.dropout, deterministic=deterministic)(weights)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(B, T, d)
-        out = nn.Dense(d, name="out")(out)
+        out = nn.Dense(d, name="out", dtype=self.dtype)(out)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         return out
 
@@ -95,12 +102,13 @@ class SelfAttentionModule(nn.Module):
 class ConvolutionModule(nn.Module):
     kernel_size: int
     dropout: float
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool):
         d = x.shape[-1]
-        x = nn.LayerNorm(name="norm")(x)
-        x = nn.Dense(2 * d, name="pointwise1")(x)
+        x = nn.LayerNorm(name="norm", dtype=self.dtype)(x)
+        x = nn.Dense(2 * d, name="pointwise1", dtype=self.dtype)(x)
         x = nn.glu(x, axis=-1)
         # keep padding out of the depthwise receptive field
         x = x * mask[:, :, None].astype(x.dtype)
@@ -110,10 +118,12 @@ class ConvolutionModule(nn.Module):
             padding="SAME",
             feature_group_count=d,
             name="depthwise",
+            dtype=self.dtype,
         )(x)
         x = MaskedBatchNorm(name="bn")(x, mask, use_running_average=deterministic)
+        x = x.astype(self.dtype)
         x = nn.silu(x)
-        x = nn.Dense(d, name="pointwise2")(x)
+        x = nn.Dense(d, name="pointwise2", dtype=self.dtype)(x)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         return x
 
@@ -123,22 +133,24 @@ class ConformerLayer(nn.Module):
     ffn_dim: int
     conv_kernel_size: int
     dropout: float
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
-        x = x + 0.5 * FeedForwardModule(self.ffn_dim, self.dropout, name="ffn1")(
-            x, deterministic
-        )
-        x = x + SelfAttentionModule(self.num_heads, self.dropout, name="attn")(
-            x, mask, deterministic
-        )
-        x = x + ConvolutionModule(self.conv_kernel_size, self.dropout, name="conv")(
-            x, mask, deterministic
-        )
-        x = x + 0.5 * FeedForwardModule(self.ffn_dim, self.dropout, name="ffn2")(
-            x, deterministic
-        )
-        x = nn.LayerNorm(name="final_norm")(x)
+        dt = self.dtype
+        x = x + 0.5 * FeedForwardModule(
+            self.ffn_dim, self.dropout, dtype=dt, name="ffn1"
+        )(x, deterministic)
+        x = x + SelfAttentionModule(
+            self.num_heads, self.dropout, dtype=dt, name="attn"
+        )(x, mask, deterministic)
+        x = x + ConvolutionModule(
+            self.conv_kernel_size, self.dropout, dtype=dt, name="conv"
+        )(x, mask, deterministic)
+        x = x + 0.5 * FeedForwardModule(
+            self.ffn_dim, self.dropout, dtype=dt, name="ffn2"
+        )(x, deterministic)
+        x = nn.LayerNorm(name="final_norm", dtype=dt)(x)
         return x
 
 
@@ -150,15 +162,18 @@ class Conformer(nn.Module):
     ffn_dim: int
     conv_kernel_size: int
     dropout: float
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
+        x = x.astype(self.dtype)
         for i in range(self.num_layers):
             x = ConformerLayer(
                 num_heads=self.num_heads,
                 ffn_dim=self.ffn_dim,
                 conv_kernel_size=self.conv_kernel_size,
                 dropout=self.dropout,
+                dtype=self.dtype,
                 name=f"layer_{i}",
             )(x, mask, deterministic)
         return x * mask[:, :, None].astype(x.dtype)

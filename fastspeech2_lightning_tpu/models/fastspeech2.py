@@ -41,16 +41,18 @@ class FastSpeech2(nn.Module):
     def setup(self):
         mcfg = self.config.model
         d = mcfg.encoder.input_dim
+        dt = jnp.bfloat16 if mcfg.dtype == "bfloat16" else jnp.float32
+        self.compute_dtype = dt
         if (
             mcfg.target_text_representation_level
             == TargetTrainingTextRepresentationLevel.phonological_features
         ):
             self.text_input_layer = nn.Dense(
-                d, use_bias=False, name="text_input_layer"
+                d, use_bias=False, name="text_input_layer", dtype=dt
             )
         else:
             self.text_input_layer = nn.Embed(
-                self.n_symbols, d, name="text_input_layer"
+                self.n_symbols, d, name="text_input_layer", dtype=dt
             )
         if mcfg.use_global_style_token_module:
             # style embedding is added to encoder output, so its width must be
@@ -66,6 +68,7 @@ class FastSpeech2(nn.Module):
             ffn_dim=mcfg.encoder.feedforward_dim,
             conv_kernel_size=mcfg.encoder.conv_kernel_size,
             dropout=mcfg.encoder.dropout,
+            dtype=dt,
             name="encoder",
         )
         self.variance_adaptor = VarianceAdaptor(
@@ -77,14 +80,17 @@ class FastSpeech2(nn.Module):
             ffn_dim=mcfg.decoder.feedforward_dim,
             conv_kernel_size=mcfg.decoder.conv_kernel_size,
             dropout=mcfg.decoder.dropout,
+            dtype=dt,
             name="decoder",
         )
         self.mel_linear = nn.Dense(
-            self.config.preprocessing.audio.n_mels, name="mel_linear"
+            self.config.preprocessing.audio.n_mels, name="mel_linear", dtype=dt
         )
         if mcfg.use_postnet:
             self.postnet = PostNet(
-                n_mel_channels=self.config.preprocessing.audio.n_mels, name="postnet"
+                n_mel_channels=self.config.preprocessing.audio.n_mels,
+                dtype=dt,
+                name="postnet",
             )
         if mcfg.multispeaker:
             self.speaker_embedding = nn.Embed(
@@ -174,11 +180,14 @@ class FastSpeech2(nn.Module):
         dec_pos = dec_pos[None, :, :] * tgt_mask[:, :, None].astype(x.dtype)
 
         x = self.decoder(va["output"] + dec_pos, tgt_mask, deterministic=deterministic)
-        output = self.mel_linear(x)
+        # mel outputs in f32 (losses + vocoder handoff)
+        output = self.mel_linear(x).astype(jnp.float32)
 
         postnet_output = None
         if mcfg.use_postnet:
-            postnet_output = output + self.postnet(output, deterministic=deterministic)
+            postnet_output = output + self.postnet(
+                output, deterministic=deterministic
+            ).astype(jnp.float32)
 
         return {
             "output": output,

@@ -7,7 +7,7 @@ MXU without transposes — unlike the reference's NCW + permute pattern)."""
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -50,6 +50,7 @@ class DepthwiseSeparableConv1d(nn.Module):
 
     features: int
     kernel_size: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -60,8 +61,12 @@ class DepthwiseSeparableConv1d(nn.Module):
             padding="SAME",
             feature_group_count=in_ch,
             name="depthwise",
+            dtype=self.dtype,
         )(x)
-        x = nn.Conv(features=self.features, kernel_size=(1,), name="pointwise")(x)
+        x = nn.Conv(
+            features=self.features, kernel_size=(1,), name="pointwise",
+            dtype=self.dtype,
+        )(x)
         return x
 
 
@@ -73,19 +78,23 @@ class VarianceConvolutionLayer(nn.Module):
     kernel_size: int
     dropout: float
     depthwise: bool
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         if self.depthwise:
-            x = DepthwiseSeparableConv1d(self.features, self.kernel_size)(x)
+            x = DepthwiseSeparableConv1d(
+                self.features, self.kernel_size, dtype=self.dtype
+            )(x)
         else:
             x = nn.Conv(
                 features=self.features,
                 kernel_size=(self.kernel_size,),
                 padding="SAME",
+                dtype=self.dtype,
             )(x)
         x = nn.relu(x)
-        x = nn.LayerNorm()(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         return x
 
@@ -99,6 +108,7 @@ class VariancePredictor(nn.Module):
     kernel_size: int = 5
     dropout_rate: float = 0.1
     depthwise: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -107,16 +117,19 @@ class VariancePredictor(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        x = x.astype(self.dtype)
         for i in range(self.n_layers):
             x = VarianceConvolutionLayer(
                 features=self.n_channels,
                 kernel_size=self.kernel_size,
                 dropout=self.dropout_rate,
                 depthwise=self.depthwise,
+                dtype=self.dtype,
                 name=f"conv_{i}",
             )(x, deterministic=deterministic)
-        out = nn.Dense(self.output_dim, name="linear")(x)
-        out = jnp.squeeze(out, axis=-1)
+        out = nn.Dense(self.output_dim, name="linear", dtype=self.dtype)(x)
+        # scalar heads feed losses and duration rounding: return f32
+        out = jnp.squeeze(out, axis=-1).astype(jnp.float32)
         if mask is not None:
             out = out * mask.astype(out.dtype)
         return out
@@ -130,6 +143,7 @@ class PostNet(nn.Module):
     postnet_embedding_dim: int = 512
     postnet_kernel_size: int = 5
     postnet_n_convolutions: int = 5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -137,6 +151,7 @@ class PostNet(nn.Module):
     ) -> jnp.ndarray:
         if use_running_average is None:
             use_running_average = deterministic
+        x = x.astype(self.dtype)
         n = self.postnet_n_convolutions
         for i in range(n):
             last = i == n - 1
@@ -146,6 +161,7 @@ class PostNet(nn.Module):
                 kernel_size=(self.postnet_kernel_size,),
                 padding="SAME",
                 name=f"conv_{i}",
+                dtype=self.dtype,
             )(x)
             x = nn.BatchNorm(
                 use_running_average=use_running_average,

@@ -31,6 +31,8 @@ class VarianceAdaptor(nn.Module):
 
     def setup(self):
         mcfg = self.config.model
+        dt = jnp.bfloat16 if mcfg.dtype == "bfloat16" else jnp.float32
+        self.compute_dtype = dt
         vp = mcfg.variance_predictors
         self.duration_predictor = VariancePredictor(
             n_layers=vp.duration.n_layers,
@@ -39,6 +41,7 @@ class VarianceAdaptor(nn.Module):
             kernel_size=vp.duration.kernel_size,
             dropout_rate=vp.duration.dropout,
             depthwise=vp.duration.depthwise,
+            dtype=dt,
             name="duration_predictor",
         )
         self.pitch_predictor = VariancePredictor(
@@ -48,6 +51,7 @@ class VarianceAdaptor(nn.Module):
             kernel_size=vp.pitch.kernel_size,
             dropout_rate=vp.pitch.dropout,
             depthwise=vp.pitch.depthwise,
+            dtype=dt,
             name="pitch_predictor",
         )
         self.energy_predictor = VariancePredictor(
@@ -57,13 +61,14 @@ class VarianceAdaptor(nn.Module):
             kernel_size=vp.energy.kernel_size,
             dropout_rate=vp.energy.dropout,
             depthwise=vp.energy.depthwise,
+            dtype=dt,
             name="energy_predictor",
         )
         self.pitch_embedding = nn.Embed(
-            vp.pitch.n_bins, vp.pitch.input_dim, name="pitch_embedding"
+            vp.pitch.n_bins, vp.pitch.input_dim, name="pitch_embedding", dtype=dt
         )
         self.energy_embedding = nn.Embed(
-            vp.energy.n_bins, vp.energy.input_dim, name="energy_embedding"
+            vp.energy.n_bins, vp.energy.input_dim, name="energy_embedding", dtype=dt
         )
         # bin boundaries are fixed buffers derived from corpus stats
         # (fs2/variance_adaptor.py:117-124)
