@@ -1,0 +1,83 @@
+"""Training correctness: Noam schedule parity, gradient clipping, and an
+overfit smoke test (loss must drop substantially on a fixed tiny batch)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastspeech2_lightning_tpu.models import FastSpeech2
+from fastspeech2_lightning_tpu.training.state import (
+    create_train_state,
+    noam_schedule,
+)
+from fastspeech2_lightning_tpu.training.step import make_eval_step, make_train_step
+
+from helpers import synthetic_batch, tiny_config, tiny_stats
+
+
+def test_noam_schedule_matches_reference_formula():
+    # fs2/noam.py:20-26: scale = warmup^0.5 * min(step^-0.5, step*warmup^-1.5)
+    sched = noam_schedule(base_lr=1e-3, warmup_steps=100)
+    for step in [1, 10, 100, 1000]:
+        expected = 1e-3 * (100**0.5) * min(step**-0.5, step * 100**-1.5)
+        np.testing.assert_allclose(
+            float(sched(jnp.int32(step))), expected, rtol=1e-6
+        )
+    # step 0 is clamped to 1 (protect against 0^-0.5)
+    np.testing.assert_allclose(
+        float(sched(jnp.int32(0))), float(sched(jnp.int32(1)))
+    )
+    # warmup peak at step == warmup_steps
+    peak = float(sched(jnp.int32(100)))
+    assert peak > float(sched(jnp.int32(50)))
+    assert peak > float(sched(jnp.int32(500)))
+
+
+@pytest.mark.slow
+def test_overfit_tiny_batch():
+    cfg = tiny_config(learn_alignment=True)
+    cfg.training.optimizer.learning_rate = 1e-2
+    cfg.training.optimizer.warmup_steps = 20
+    model = FastSpeech2(
+        config=cfg, stats=tiny_stats(), n_symbols=30, n_speakers=1, n_languages=1
+    )
+    rng = np.random.default_rng(0)
+    batch = synthetic_batch(rng, B=2, L=8, T=32)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
+    train_step = make_train_step(cfg, model)
+    key = jax.random.PRNGKey(0)
+
+    first = None
+    for i in range(80):
+        state, losses = train_step(state, batch, key, 0)
+        if i == 4:
+            first = float(losses["spec"] + losses["postnet"])
+    last = float(losses["spec"] + losses["postnet"])
+    assert np.isfinite(last)
+    assert last < 0.5 * first, (first, last)
+
+
+def test_grad_norm_reported_and_clipped():
+    cfg = tiny_config(learn_alignment=False)
+    cfg.training.gradient_clip_val = 1e-8  # clip hard: updates ~ 0
+    model = FastSpeech2(
+        config=cfg, stats=tiny_stats(), n_symbols=30, n_speakers=1, n_languages=1
+    )
+    rng = np.random.default_rng(1)
+    batch = synthetic_batch(rng, B=2, L=8, T=32, learn_alignment=False)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
+    # train_step donates the state, so snapshot params to host first
+    params_before = [
+        np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)
+    ]
+    train_step = make_train_step(cfg, model)
+    state, losses = train_step(state, batch, jax.random.PRNGKey(0), 0)
+    assert "grad_norm" in losses and float(losses["grad_norm"]) > 0
+    # with near-zero clip, parameters barely move
+    params_after = jax.tree_util.tree_leaves(state.params)
+    max_delta = max(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(params_before, params_after)
+    )
+    assert max_delta < 1e-4
