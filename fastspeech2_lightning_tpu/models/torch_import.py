@@ -1,0 +1,256 @@
+"""Import reference PyTorch Lightning checkpoints into this framework.
+
+Maps the reference FastSpeech2 state_dict (fs2/model.py module tree:
+text_input_layer / torchaudio Conformer encoder+decoder / variance_adaptor /
+mel_linear / postnet / speaker+language embeddings) onto our flax parameter
+pytree, so teacher-forced numerical-parity evaluation and checkpoint
+continuity are possible without retraining.
+
+Weight-layout conventions:
+ - torch Linear weight [out, in]    -> flax Dense kernel [in, out] (transpose)
+ - torch Conv1d weight [out, in, k] -> flax Conv kernel [k, in, out]
+ - torch depthwise Conv1d [C, 1, k] -> flax kernel [k, 1, C]
+ - torch MHA in_proj_weight [3d, d] -> fused qkv kernel [d, 3d]
+ - torchaudio layer names: conformer_layers.{i}.{ffn1,self_attn_layer_norm,
+   self_attn,conv_module,ffn2,final_layer_norm}, with _FeedForwardModule
+   .sequential indices (0 LN, 1 Linear, 4 Linear) and _ConvolutionModule
+   .layer_norm + .sequential indices (0 pw, 2 dw, 3 BN, 5 pw).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+class TorchImportError(Exception):
+    pass
+
+
+def _t(sd: dict, key: str) -> np.ndarray:
+    if key not in sd:
+        raise TorchImportError(f"missing key in torch state_dict: {key}")
+    v = sd[key]
+    return np.asarray(v.numpy() if hasattr(v, "numpy") else v)
+
+
+def _linear(sd, prefix):
+    return {
+        "kernel": _t(sd, f"{prefix}.weight").T,
+        "bias": _t(sd, f"{prefix}.bias"),
+    }
+
+
+def _layernorm(sd, prefix):
+    return {
+        "scale": _t(sd, f"{prefix}.weight"),
+        "bias": _t(sd, f"{prefix}.bias"),
+    }
+
+
+def _conv1d(sd, prefix, depthwise=False):
+    w = _t(sd, f"{prefix}.weight")  # [out, in, k]
+    kernel = np.transpose(w, (2, 1, 0))  # [k, in, out]
+    out = {"kernel": kernel}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _t(sd, f"{prefix}.bias")
+    return out
+
+
+def _conformer_layer(sd, prefix) -> Tuple[dict, dict]:
+    """(params, batch_stats) for one torchaudio _ConformerLayer."""
+
+    def ffn(p):
+        return {
+            "norm": _layernorm(sd, f"{p}.sequential.0"),
+            "linear1": _linear(sd, f"{p}.sequential.1"),
+            "linear2": _linear(sd, f"{p}.sequential.4"),
+        }
+
+    in_w = _t(sd, f"{prefix}.self_attn.in_proj_weight")  # [3d, d]
+    in_b = _t(sd, f"{prefix}.self_attn.in_proj_bias")
+    attn = {
+        "norm": _layernorm(sd, f"{prefix}.self_attn_layer_norm"),
+        "qkv": {"kernel": in_w.T, "bias": in_b},
+        "out": _linear(sd, f"{prefix}.self_attn.out_proj"),
+    }
+    cm = f"{prefix}.conv_module"
+    conv = {
+        "norm": _layernorm(sd, f"{cm}.layer_norm"),
+        "pointwise1": {
+            # torch Conv1d(d, 2d, 1) -> Dense
+            "kernel": _t(sd, f"{cm}.sequential.0.weight")[:, :, 0].T,
+            "bias": _t(sd, f"{cm}.sequential.0.bias"),
+        },
+        "depthwise": {
+            # [C, 1, k] -> [k, 1, C]
+            "kernel": np.transpose(_t(sd, f"{cm}.sequential.2.weight"), (2, 1, 0)),
+            "bias": _t(sd, f"{cm}.sequential.2.bias"),
+        },
+        "bn": {
+            "scale": _t(sd, f"{cm}.sequential.3.weight"),
+            "bias": _t(sd, f"{cm}.sequential.3.bias"),
+        },
+        "pointwise2": {
+            "kernel": _t(sd, f"{cm}.sequential.5.weight")[:, :, 0].T,
+            "bias": _t(sd, f"{cm}.sequential.5.bias"),
+        },
+    }
+    params = {
+        "ffn1": ffn(f"{prefix}.ffn1"),
+        "attn": attn,
+        "conv": conv,
+        "ffn2": ffn(f"{prefix}.ffn2"),
+        "final_norm": _layernorm(sd, f"{prefix}.final_layer_norm"),
+    }
+    stats = {
+        "conv": {
+            "bn": {
+                "mean": _t(sd, f"{cm}.sequential.3.running_mean"),
+                "var": _t(sd, f"{cm}.sequential.3.running_var"),
+            }
+        }
+    }
+    return params, stats
+
+
+def _conformer(sd, prefix, n_layers) -> Tuple[dict, dict]:
+    params, stats = {}, {}
+    for i in range(n_layers):
+        p, s = _conformer_layer(sd, f"{prefix}.conformer_layers.{i}")
+        params[f"layer_{i}"] = p
+        stats[f"layer_{i}"] = s
+    return params, stats
+
+
+def _variance_predictor(sd, prefix, n_layers, depthwise=True) -> dict:
+    """Reference VariancePredictor: conv.{i}.layers = Sequential(
+    Transpose(conv), ReLU, LayerNorm, Dropout); then .linear
+    (fs2/variance_adaptor.py:18-62, fs2/layers.py:20-48)."""
+    out = {}
+    for i in range(n_layers):
+        lp = f"{prefix}.conv.{i}.layers"
+        layer = {}
+        if depthwise:
+            layer["DepthwiseSeparableConv1d_0"] = {
+                "depthwise": _conv1d(sd, f"{lp}.0.module.model.0"),
+                "pointwise": _conv1d(sd, f"{lp}.0.module.model.1"),
+            }
+        else:
+            layer["Conv_0"] = _conv1d(sd, f"{lp}.0.module")
+        layer["LayerNorm_0"] = _layernorm(sd, f"{lp}.2")
+        out[f"conv_{i}"] = layer
+    out["linear"] = _linear(sd, f"{prefix}.linear")
+    return out
+
+
+def _conv_attention(sd, prefix) -> dict:
+    """Reference ConvAttention 3xconv query encoder + 2-conv key encoder
+    (fs2/attn/attention.py:122-151); ConvNorm wraps .conv."""
+    return {
+        "key_proj_0": {"Conv_0": _conv1d(sd, f"{prefix}.key_proj.0.conv")},
+        "key_proj_1": {"Conv_0": _conv1d(sd, f"{prefix}.key_proj.2.conv")},
+        "query_proj_0": {"Conv_0": _conv1d(sd, f"{prefix}.query_proj.0.conv")},
+        "query_proj_1": {"Conv_0": _conv1d(sd, f"{prefix}.query_proj.2.conv")},
+        "query_proj_2": {"Conv_0": _conv1d(sd, f"{prefix}.query_proj.4.conv")},
+    }
+
+
+def import_torch_fastspeech2(
+    state_dict: dict,
+    config,
+) -> Tuple[dict, dict, List[str]]:
+    """(params, batch_stats, warnings) from a reference state_dict.
+
+    config: our FastSpeech2Config describing the same architecture."""
+    sd = state_dict
+    warnings: List[str] = []
+    mcfg = config.model
+    params: Dict = {}
+    batch_stats: Dict = {}
+
+    # text input layer
+    if "text_input_layer.weight" in sd:
+        w = _t(sd, "text_input_layer.weight")
+        if (
+            mcfg.target_text_representation_level.value == "phonological_features"
+        ):
+            params["text_input_layer"] = {"kernel": w.T}
+        else:
+            params["text_input_layer"] = {"embedding": w}
+
+    enc_p, enc_s = _conformer(sd, "encoder", mcfg.encoder.layers)
+    dec_p, dec_s = _conformer(sd, "decoder", mcfg.decoder.layers)
+    params["encoder"], batch_stats["encoder"] = enc_p, enc_s
+    params["decoder"], batch_stats["decoder"] = dec_p, dec_s
+
+    va: Dict = {}
+    vp = mcfg.variance_predictors
+    for name, cfgv in (
+        ("duration", vp.duration), ("pitch", vp.pitch), ("energy", vp.energy)
+    ):
+        va[f"{name}_predictor"] = _variance_predictor(
+            sd, f"variance_adaptor.{name}_predictor", cfgv.n_layers, cfgv.depthwise
+        )
+    va["pitch_embedding"] = {
+        "embedding": _t(sd, "variance_adaptor.pitch_embedding.weight")
+    }
+    va["energy_embedding"] = {
+        "embedding": _t(sd, "variance_adaptor.energy_embedding.weight")
+    }
+    if mcfg.learn_alignment:
+        va["attention"] = _conv_attention(sd, "variance_adaptor.attention")
+    params["variance_adaptor"] = va
+
+    params["mel_linear"] = _linear(sd, "mel_linear")
+
+    if mcfg.use_postnet:
+        pn: Dict = {}
+        pn_stats: Dict = {}
+        for i in range(5):
+            pn[f"conv_{i}"] = _conv1d(sd, f"postnet.convolutions.{i}.0.conv")
+            pn[f"bn_{i}"] = {
+                "scale": _t(sd, f"postnet.convolutions.{i}.1.weight"),
+                "bias": _t(sd, f"postnet.convolutions.{i}.1.bias"),
+            }
+            pn_stats[f"bn_{i}"] = {
+                "mean": _t(sd, f"postnet.convolutions.{i}.1.running_mean"),
+                "var": _t(sd, f"postnet.convolutions.{i}.1.running_var"),
+            }
+        params["postnet"] = pn
+        batch_stats["postnet"] = pn_stats
+
+    if mcfg.multispeaker and "speaker_embedding.weight" in sd:
+        params["speaker_embedding"] = {
+            "embedding": _t(sd, "speaker_embedding.weight")
+        }
+    if mcfg.multilingual and "language_embedding.weight" in sd:
+        params["language_embedding"] = {
+            "embedding": _t(sd, "language_embedding.weight")
+        }
+    if mcfg.use_global_style_token_module:
+        warnings.append(
+            "GST weights are not imported yet (GRU gate-layout mapping "
+            "pending); the gst/ subtree keeps its fresh initialization."
+        )
+
+    # account for unused reference keys (buffers we recompute, etc.)
+    known_unused = [
+        "position_embedding.inv_freq",
+        "variance_adaptor.pitch_bins",
+        "variance_adaptor.energy_bins",
+    ]
+    for k in known_unused:
+        if k not in sd:
+            warnings.append(f"expected reference buffer not present: {k}")
+    return params, batch_stats, warnings
+
+
+def import_torch_checkpoint(ckpt_path, config):
+    """Load a reference Lightning .ckpt and convert its weights."""
+    import torch
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    return import_torch_fastspeech2(sd, config)
