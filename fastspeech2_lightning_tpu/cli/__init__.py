@@ -101,6 +101,7 @@ def train(config_file: Path, config_args, max_steps, resume):
 )
 @click.option("--batch-size", type=int, default=None)
 @click.option("--teacher-forcing-directory", type=click.Path(path_type=Path), default=None)
+@_config_args_option
 def synthesize(
     model_path: Path,
     texts,
@@ -116,6 +117,7 @@ def synthesize(
     output_dir,
     batch_size,
     teacher_forcing_directory,
+    config_args,
 ):
     from ..type_definitions import SynthesizeOutputFormats
 
@@ -141,6 +143,14 @@ def synthesize(
     (
         model, variables, config, stats, lang2id, speaker2id, global_step,
     ) = load_model_from_checkpoint(model_path)
+
+    if config_args:
+        # inference-time dotted-path overrides (inference_base_command parity)
+        from ..config import FastSpeech2Config, apply_overrides
+
+        config = FastSpeech2Config.model_validate(
+            apply_overrides(config.model_checkpoint_dump(), list(config_args))
+        )
 
     vocoder = None
     vocoder_global_step = 0

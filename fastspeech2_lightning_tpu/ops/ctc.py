@@ -7,13 +7,22 @@ Parity with fs2/attn/attention_loss.py:
  - AttentionBinarizationLoss (:65-73): -mean log soft-attn mass under the hard
    alignment.
 
-The forward-sum here is an exact CTC alpha recursion as one `lax.scan` over
-mel frames with carry alpha [B, 2L+1] (blank-interleaved states). All labels
-are distinct by construction (they are text positions), so the s-2 skip
-transition is always legal. Verified against a brute-force path enumeration
-and torch.nn.CTCLoss (tests/test_ops.py) — optax.ctc_loss was tried first and
-is *not* an exact forward-sum (~1e-3 relative error), hence the hand-rolled
-scan."""
+The forward-sum is an exact CTC alpha recursion as one `lax.scan` over mel
+frames with carry alpha [B, 2L+1] (blank-interleaved states); all labels are
+distinct by construction (text positions), so the skip transition is always
+legal. Verified against brute-force path enumeration and torch.nn.CTCLoss
+(tests/test_ops.py) — optax.ctc_loss is NOT an exact forward-sum (~1e-3
+relative error), hence hand-rolled.
+
+The backward pass is a custom VJP using the classic alpha–beta posterior
+identity  ∂(−ll)/∂y_t(c) = −Σ_{s:label(s)=c} γ_t(s),  γ = exp(α+β−ll) —
+one reverse scan instead of autodiff-through-scan (≈2× faster, no saved
+per-step cotangents).
+
+Ragged mel lengths are made uniform by forcing padded frames to emit blank
+with certainty: the path then sits in the final blank state through padding,
+so alpha at T-1 equals alpha at out_len-1 exactly.
+"""
 
 from __future__ import annotations
 
@@ -23,33 +32,42 @@ import jax.numpy as jnp
 NEG_INF = -1e15
 
 
-def _log_softmax_masked(logits: jnp.ndarray) -> jnp.ndarray:
-    return jax.nn.log_softmax(logits, axis=-1)
-
-
-def ctc_forward_sum(
-    logprobs: jnp.ndarray,  # [B, T, L+1]; column 0 = blank, k = text pos k
-    in_lens: jnp.ndarray,  # [B] number of labels (text length)
-    out_lens: jnp.ndarray,  # [B] number of frames (mel length)
-) -> jnp.ndarray:
-    """Exact CTC negative log-likelihood per example, labels = 1..in_len.
-
-    States s = 0..2L: even s -> blank, odd s -> label (s+1)//2.
-    alpha_t(s) = logp_t(label(s)) + logsumexp(alpha_{t-1}(s),
-                 alpha_{t-1}(s-1), [s odd] alpha_{t-1}(s-2)).
-    """
-    B, T, Lp1 = logprobs.shape
-    L = Lp1 - 1
-    S = 2 * L + 1
-    s_ids = jnp.arange(S)
-    # label index per state (0 = blank)
+def _state_maps(L: int):
+    s_ids = jnp.arange(2 * L + 1)
     state_label = jnp.where(s_ids % 2 == 1, (s_ids + 1) // 2, 0)  # [S]
-    odd = (s_ids % 2 == 1)
+    odd = s_ids % 2 == 1
+    return s_ids, state_label, odd
+
+
+def _uniform_logprobs(logprobs, out_lens):
+    """Force padded frames (t >= out_len) to emit blank with certainty."""
+    B, T, Lp1 = logprobs.shape
+    t_ids = jnp.arange(T)[None, :, None]
+    padded = t_ids >= out_lens[:, None, None]
+    col_blank = jnp.arange(Lp1)[None, None, :] == 0
+    return jnp.where(padded, jnp.where(col_blank, 0.0, NEG_INF), logprobs)
+
+
+def _lse2(a, b):
+    m = jnp.maximum(a, b)
+    out = m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m))
+    return jnp.where(jnp.isfinite(m), out, NEG_INF)
+
+
+def _lse3(a, b, c):
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    out = m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m) + jnp.exp(c - m))
+    return jnp.where(jnp.isfinite(m), out, NEG_INF)
+
+
+def _alpha_scan(logprobs, L):
+    """alphas [T, B, S] for uniform (padding-blanked) logprobs."""
+    B, T, _ = logprobs.shape
+    s_ids, state_label, odd = _state_maps(L)
 
     def emit(frame_logp):  # [B, L+1] -> [B, S]
         return frame_logp[:, state_label]
 
-    # init: alpha_0 = emit(0) at states 0 (blank) and 1 (first label)
     frame0 = logprobs[:, 0, :]
     alpha0 = jnp.where(s_ids[None, :] <= 1, emit(frame0), NEG_INF)
 
@@ -59,35 +77,103 @@ def ctc_forward_sum(
     def step(alpha, frame_logp):
         a0 = alpha
         a1 = shift1(alpha)
-        a2 = shift1(a1)
-        a2 = jnp.where(odd[None, :], a2, NEG_INF)  # skip only into label states
-        stacked = jnp.stack([a0, a1, a2], axis=0)
-        m = jnp.max(stacked, axis=0)
-        summed = m + jnp.log(
-            jnp.sum(jnp.exp(stacked - m[None]), axis=0)
-        )
-        summed = jnp.where(jnp.isfinite(m), summed, NEG_INF)
-        new_alpha = summed + emit(frame_logp)
-        new_alpha = jnp.maximum(new_alpha, NEG_INF)
+        a2 = jnp.where(odd[None, :], shift1(a1), NEG_INF)
+        new_alpha = jnp.maximum(_lse3(a0, a1, a2) + emit(frame_logp), NEG_INF)
         return new_alpha, new_alpha
 
     _, alphas = jax.lax.scan(
         step, alpha0, jnp.swapaxes(logprobs, 0, 1)[1:], unroll=8
     )
-    alphas = jnp.concatenate(
-        [alpha0[None], alphas], axis=0
-    )  # [T, B, S]
+    return jnp.concatenate([alpha0[None], alphas], axis=0)  # [T, B, S]
 
-    # gather alpha at t = out_len-1, s in {2*in_len, 2*in_len-1}
-    t_idx = jnp.clip(out_lens.astype(jnp.int32) - 1, 0, T - 1)  # [B]
-    final = alphas[t_idx, jnp.arange(B)]  # [B, S]
+
+def _final_ll(alpha_last, in_lens, S):
+    """logsumexp of the two legal final states at T-1."""
+    B = alpha_last.shape[0]
     s_last_blank = jnp.clip(2 * in_lens.astype(jnp.int32), 0, S - 1)
     s_last_label = jnp.clip(2 * in_lens.astype(jnp.int32) - 1, 0, S - 1)
-    a = jnp.take_along_axis(final, s_last_blank[:, None], axis=1)[:, 0]
-    b = jnp.take_along_axis(final, s_last_label[:, None], axis=1)[:, 0]
-    m = jnp.maximum(a, b)
-    ll = m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m))
-    return -ll  # [B]
+    a = jnp.take_along_axis(alpha_last, s_last_blank[:, None], axis=1)[:, 0]
+    b = jnp.take_along_axis(alpha_last, s_last_label[:, None], axis=1)[:, 0]
+    return _lse2(a, b)
+
+
+@jax.custom_vjp
+def ctc_forward_sum(
+    logprobs: jnp.ndarray,  # [B, T, L+1]; column 0 = blank, k = text pos k
+    in_lens: jnp.ndarray,  # [B] number of labels (text length)
+    out_lens: jnp.ndarray,  # [B] number of frames (mel length)
+) -> jnp.ndarray:
+    """Exact CTC negative log-likelihood per example, labels = 1..in_len."""
+    B, T, Lp1 = logprobs.shape
+    L = Lp1 - 1
+    y = _uniform_logprobs(logprobs, out_lens)
+    alphas = _alpha_scan(y, L)
+    return -_final_ll(alphas[-1], in_lens, 2 * L + 1)
+
+
+def _ctc_fwd(logprobs, in_lens, out_lens):
+    B, T, Lp1 = logprobs.shape
+    L = Lp1 - 1
+    y = _uniform_logprobs(logprobs, out_lens)
+    alphas = _alpha_scan(y, L)
+    ll = _final_ll(alphas[-1], in_lens, 2 * L + 1)
+    return -ll, (y, alphas, ll, in_lens, out_lens)
+
+
+def _ctc_bwd(residuals, g):
+    """Reverse beta scan + posterior marginals."""
+    y, alphas, ll, in_lens, out_lens = residuals
+    T, B, S = alphas.shape
+    L = (S - 1) // 2
+    s_ids, state_label, odd = _state_maps(L)
+
+    def emit(frame_logp):
+        return frame_logp[:, state_label]
+
+    # beta at T-1: 0 on the two legal final states
+    s_last_blank = jnp.clip(2 * in_lens.astype(jnp.int32), 0, S - 1)
+    s_last_label = jnp.clip(2 * in_lens.astype(jnp.int32) - 1, 0, S - 1)
+    beta_last = jnp.where(
+        (s_ids[None, :] == s_last_blank[:, None])
+        | (s_ids[None, :] == s_last_label[:, None]),
+        0.0,
+        NEG_INF,
+    )
+
+    def shift_left(a):
+        return jnp.concatenate([a[:, 1:], jnp.full((B, 1), NEG_INF)], axis=1)
+
+    def step(beta_next, frame_logp_next):
+        # beta_t(s) = lse over s' in {s, s+1, s+2 odd} of
+        #             beta_{t+1}(s') + y_{t+1}(label(s'))
+        w = beta_next + emit(frame_logp_next)  # [B, S]
+        b0 = w
+        b1 = shift_left(w)
+        # skip into s+2 allowed only when s+2 is odd <=> s is odd
+        b2 = jnp.where(odd[None, :], shift_left(b1), NEG_INF)
+        beta = jnp.maximum(_lse3(b0, b1, b2), NEG_INF)
+        return beta, beta_next  # record beta_{t+1}
+
+    ys = jnp.flip(jnp.swapaxes(y, 0, 1)[1:], axis=0)  # y_{T-1} .. y_1
+    beta_first, betas_rev = jax.lax.scan(step, beta_last, ys, unroll=8)
+    betas = jnp.concatenate(
+        [beta_first[None], jnp.flip(betas_rev, axis=0)], axis=0
+    )  # [T, B, S]
+
+    gamma = jnp.exp(
+        jnp.clip(alphas + betas - ll[None, :, None], -80.0, 0.0)
+    )  # [T, B, S]
+    # collapse states -> label columns via one-hot matmul (MXU)
+    M = jax.nn.one_hot(state_label, L + 1, dtype=gamma.dtype)  # [S, L+1]
+    grad_y = -jnp.einsum("tbs,sc->btc", gamma, M)  # [B, T, L+1]
+    # padded frames received forced emissions: no gradient flows to them
+    t_ids = jnp.arange(T)[None, :, None]
+    grad_y = jnp.where(t_ids >= out_lens[:, None, None], 0.0, grad_y)
+    grad_y = grad_y * g[:, None, None]
+    return grad_y, None, None
+
+
+ctc_forward_sum.defvjp(_ctc_fwd, _ctc_bwd)
 
 
 def attention_ctc_loss(
@@ -102,7 +188,7 @@ def attention_ctc_loss(
     logits = jnp.concatenate([blank, attn_logprob.astype(jnp.float32)], axis=-1)
     key_ids = jnp.arange(L + 1)[None, None, :]
     logits = jnp.where(key_ids > in_lens[:, None, None], NEG_INF, logits)
-    logprobs = _log_softmax_masked(logits)
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
 
     per_example = ctc_forward_sum(logprobs, in_lens, out_lens)
     # zero_infinity + "mean" reduction (per-target-length, then batch mean)

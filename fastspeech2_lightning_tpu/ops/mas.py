@@ -52,28 +52,42 @@ def _forward_logp(log_attn: jnp.ndarray) -> jnp.ndarray:
 
 
 def _backtrack(log_p: jnp.ndarray, in_lens: jnp.ndarray, out_lens: jnp.ndarray):
-    """Reverse scan producing the path text-index per mel frame: [B, T] int32.
+    """Reverse scan producing the one-hot path per mel frame: [B, T, L] f32.
 
-    Frames at i >= out_len hold j = in_len-1 so the true path starts at
-    (out_len-1, in_len-1); those frames are masked out of the output."""
+    Gather-free: the current text position is carried as a one-hot vector
+    h [B, L]; 'stay'/'move-left' DP values come from masked row reductions and
+    the move is a lane roll — pure VPU work, no per-step dynamic slicing of
+    the [B, T, L] table (the previous rows stream in as scan inputs).
+
+    Frames at i >= out_len hold h = onehot(in_len-1) so the true path starts
+    at (out_len-1, in_len-1)."""
     B, T, L = log_p.shape
-    j_init = (in_lens - 1).astype(jnp.int32)  # [B]
+    h_init = jax.nn.one_hot(in_lens - 1, L, dtype=log_p.dtype)  # [B, L]
 
-    def step(j, idx):
-        # moving from row i=idx down to i-1; records path at row idx
-        i = idx
-        active = (i > 0) & (i < out_lens)  # may move when previous row is valid
-        jm1 = jnp.maximum(j - 1, 0)
-        prev_row = log_p[:, jnp.maximum(i - 1, 0), :]  # [B, L]
-        left = jnp.take_along_axis(prev_row, jm1[:, None], axis=1)[:, 0]
-        stay = jnp.take_along_axis(prev_row, j[:, None], axis=1)[:, 0]
-        dec = active & (j > 0) & (left >= stay)
-        j_next = jnp.where(dec, j - 1, j)
-        return j_next, j
+    # xs: for row i (from T-1 down to 1) we need log_p[i-1]
+    prev_rows = jnp.flip(jnp.swapaxes(log_p, 0, 1)[: T - 1], axis=0)  # [T-1,B,L]
+    idxs = jnp.arange(T - 1, 0, -1, dtype=jnp.int32)  # [T-1]
 
-    idxs = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
-    _, path_rev = jax.lax.scan(step, j_init, idxs, unroll=16)
-    return jnp.flip(jnp.swapaxes(path_rev, 0, 1), axis=1)  # [B, T]
+    def step(h, xs):
+        prev_row, i = xs
+        active = (i < out_lens)[:, None]  # [B, 1]; i > 0 by construction
+        stay = jnp.sum(prev_row * h, axis=1, keepdims=True)
+        h_left = jnp.roll(h, -1, axis=1)  # one-hot at j-1
+        left = jnp.sum(prev_row * h_left, axis=1, keepdims=True)
+        at_zero = h[:, :1]  # 1.0 iff j == 0
+        dec = active & (left >= stay) & (at_zero < 0.5)
+        h_next = jnp.where(dec, h_left, h)
+        return h_next, h  # record h for row i before moving
+
+    h_final, hs_rev = jax.lax.scan(
+        step, h_init, (prev_rows, idxs), unroll=16
+    )
+    # rows T-1..1 recorded in hs_rev (reverse order); row 0 is h_final
+    hard = jnp.concatenate(
+        [h_final[:, None, :], jnp.flip(jnp.swapaxes(hs_rev, 0, 1), axis=1)],
+        axis=1,
+    )  # [B, T, L]
+    return hard
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -101,10 +115,9 @@ def mas_width1_batched(
     log_attn = jnp.where(valid, jnp.maximum(log_attn, NEG_INF), NEG_INF)
 
     log_p = _forward_logp(log_attn)
-    path = _backtrack(log_p, in_lens, out_lens)  # [B, T]
+    onehot = _backtrack(log_p, in_lens, out_lens)  # [B, T, L]
 
     frame_valid = jnp.arange(T)[None, :] < out_lens[:, None]
-    onehot = jax.nn.one_hot(path, L, dtype=jnp.float32)
     attn_hard = onehot * frame_valid[:, :, None]
     durations = jnp.sum(attn_hard, axis=1).astype(jnp.int32)
     return attn_hard, durations

@@ -172,6 +172,19 @@ def test_end_to_end(corpus_dir):
     content = scores[0].read_text()
     assert "total_loss" in content
 
+    # 4b. benchmark command (fs2/cli/benchmark.py semantics)
+    result = runner.invoke(
+        app,
+        [
+            "benchmark", str(corpus_dir / "config.yaml"),
+            "--benchmark-type", "training",
+            "--warmup-reps", "1", "--repetitions", "2",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    assert "Average forward pass" in result.output
+
     # 5. resume training from checkpoint
     result = runner.invoke(
         app,

@@ -24,7 +24,9 @@ def build(learn_alignment=True, **overrides):
 def init_and_apply(model, batch, **kwargs):
     rng = jax.random.PRNGKey(0)
     variables = model.init({"params": rng, "dropout": rng}, batch, deterministic=True)
-    out = model.apply(variables, batch, deterministic=True, **kwargs)
+    out = jax.jit(
+        lambda v, b: model.apply(v, b, deterministic=True, **kwargs)
+    )(variables, batch)
     return variables, out
 
 
@@ -135,7 +137,7 @@ def test_grad_flows():
         )
         return compute_loss(cfg, out, batch, current_epoch=1)["total"]
 
-    grads = jax.grad(loss_fn)(variables["params"])
+    grads = jax.jit(jax.grad(loss_fn))(variables["params"])
     flat = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in flat)
     # encoder gets gradient signal

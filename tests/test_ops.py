@@ -188,3 +188,37 @@ def test_binarization_loss_matches_reference_formula():
         jnp.sum(jnp.log(jnp.clip(soft, 1e-12, None)) * hard) / jnp.sum(hard)
     )
     np.testing.assert_allclose(loss, expected, rtol=1e-6)
+
+
+def test_ctc_gradient_matches_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(11)
+    B, T, L = 3, 20, 6
+    attn = rng.standard_normal((B, T, L)).astype(np.float32) * 0.3
+    in_lens = np.array([6, 4, 3], dtype=np.int32)
+    out_lens = np.array([20, 12, 8], dtype=np.int32)
+
+    # torch gradient w.r.t. the raw attention scores
+    x = torch.tensor(attn, requires_grad=True)
+    logits = torch.cat([torch.full((B, T, 1), -1.0), x], dim=-1)
+    key_ids = torch.arange(L + 1).view(1, 1, -1)
+    logits = torch.where(
+        key_ids > torch.tensor(in_lens).view(-1, 1, 1), torch.tensor(-1e15), logits
+    )
+    logp = torch.log_softmax(logits, dim=-1).permute(1, 0, 2)
+    targets = torch.arange(1, L + 1).unsqueeze(0).repeat(B, 1)
+    ctc = torch.nn.CTCLoss(zero_infinity=True)
+    loss = ctc(
+        logp, targets, input_lengths=torch.tensor(out_lens),
+        target_lengths=torch.tensor(in_lens),
+    )
+    loss.backward()
+    torch_grad = x.grad.numpy()
+
+    ours_loss, ours_grad = jax.value_and_grad(
+        lambda a: attention_ctc_loss(a, jnp.array(in_lens), jnp.array(out_lens))
+    )(jnp.array(attn))
+    np.testing.assert_allclose(float(ours_loss), float(loss), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(ours_grad), torch_grad, rtol=2e-3, atol=2e-5)
