@@ -114,11 +114,24 @@ def mas_width1_batched(
     valid = (j_ids < in_lens[:, None, None]) & (i_ids < out_lens[:, None, None])
     log_attn = jnp.where(valid, jnp.maximum(log_attn, NEG_INF), NEG_INF)
 
-    log_p = _forward_logp(log_attn)
-    onehot = _backtrack(log_p, in_lens, out_lens)  # [B, T, L]
-
     frame_valid = jnp.arange(T)[None, :] < out_lens[:, None]
-    attn_hard = onehot * frame_valid[:, :, None]
+    use_pallas = False
+    try:
+        import jax as _jax
+
+        from .mas_pallas import fits_vmem, mas_width1_pallas
+
+        use_pallas = _jax.default_backend() == "tpu" and fits_vmem(B, T, L)
+    except Exception:
+        use_pallas = False
+
+    if use_pallas:
+        attn_hard = mas_width1_pallas(log_attn, in_lens, out_lens)
+    else:
+        log_p = _forward_logp(log_attn)
+        onehot = _backtrack(log_p, in_lens, out_lens)  # [B, T, L]
+        attn_hard = onehot * frame_valid[:, :, None]
+    attn_hard = attn_hard * frame_valid[:, :, None]
     durations = jnp.sum(attn_hard, axis=1).astype(jnp.int32)
     return attn_hard, durations
 

@@ -1,0 +1,103 @@
+"""Pallas TPU kernel for width-1 monotonic alignment search.
+
+The lax.scan MAS (ops/mas.py) pays XLA loop machinery per mel frame. This
+kernel runs the whole DP inside one Pallas program with everything resident
+in VMEM:
+
+ - layout [T, B, L]: each DP row is one (sublane=B, lane=L) tile; the
+   forward recurrence is a single in-VMEM vector op per frame
+ - the output buffer doubles as the DP table: the backtrack overwrites row i
+   with the one-hot path row after reading row i-1 (row i is never read again)
+ - the backtrack carries the current text position as a one-hot vector, so
+   the move decision is two masked row-reductions and a lane roll — no
+   gathers, no scalar extraction
+
+Used automatically by mas_width1_batched when the problem fits VMEM
+(~2 × T·B·L·4 bytes ≤ 10 MB); the scan implementation is the fallback and
+golden reference."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _mas_kernel(la_ref, h_init_ref, out_lens_ref, work_ref):
+    """la: [T, B, L] masked log-attention; h_init: [B, L] one-hot of
+    in_len-1; out_lens: [B, 1] int32; work (output): [T, B, L] — DP table
+    during the forward pass, one-hot hard alignment on exit."""
+    T, B, L = la_ref.shape
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (B, L), dimension=1)
+
+    # ---- forward DP ----
+    row0 = la_ref[0] + jnp.where(lane_ids == 0, 0.0, NEG_INF)
+    work_ref[0] = row0
+
+    def fwd(i, row):
+        shifted = pltpu.roll(row, 1, 1)
+        shifted = jnp.where(lane_ids == 0, NEG_INF, shifted)
+        new_row = la_ref[i] + jnp.maximum(row, shifted)
+        new_row = jnp.maximum(new_row, NEG_INF)
+        work_ref[i] = new_row
+        return new_row
+
+    jax.lax.fori_loop(1, T, fwd, row0)
+
+    # ---- backtrack (overwrites work rows top-down) ----
+    out_lens = out_lens_ref[:]  # [B, 1] int32
+
+    def bwd(k, h):
+        i = T - 1 - k  # i from T-1 down to 1
+        active = (i < out_lens).astype(jnp.float32)  # [B, 1]
+        prev = work_ref[i - 1]
+        stay = jnp.sum(prev * h, axis=1, keepdims=True)
+        h_left = pltpu.roll(h, L - 1, 1)  # circular left-by-1 (shift must be >= 0)
+        h_left = jnp.where(lane_ids == L - 1, 0.0, h_left)
+        left = jnp.sum(prev * h_left, axis=1, keepdims=True)
+        at_zero = h[:, :1]
+        work_ref[i] = h * active
+        dec = (active > 0.5) & (left >= stay) & (at_zero < 0.5)
+        return jnp.where(dec, h_left, h)
+
+    h = jax.lax.fori_loop(0, T - 1, bwd, h_init_ref[:])
+    work_ref[0] = h * (0 < out_lens).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mas_width1_pallas(
+    log_attn: jnp.ndarray,  # [B, T, L], already masked to the valid region
+    in_lens: jnp.ndarray,
+    out_lens: jnp.ndarray,
+    interpret: bool = False,
+):
+    """[B, T, L] hard alignment via the Pallas kernel (pre-masked input)."""
+    B, T, L = log_attn.shape
+    la = jnp.swapaxes(log_attn.astype(jnp.float32), 0, 1)  # [T, B, L]
+    h_init = jax.nn.one_hot(in_lens - 1, L, dtype=jnp.float32)
+    out_lens_col = out_lens.astype(jnp.int32)[:, None]
+
+    hard_tbl = pl.pallas_call(
+        _mas_kernel,
+        out_shape=jax.ShapeDtypeStruct((T, B, L), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(2.5 * T * B * L * 4) + (1 << 20),
+        ),
+        interpret=interpret,
+    )(la, h_init, out_lens_col)
+    return jnp.swapaxes(hard_tbl, 0, 1)  # [B, T, L]
+
+
+def fits_vmem(B: int, T: int, L: int, budget_bytes: int = 10 * 2**20) -> bool:
+    return 2 * T * B * L * 4 <= budget_bytes

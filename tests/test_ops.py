@@ -222,3 +222,31 @@ def test_ctc_gradient_matches_torch():
     )(jnp.array(attn))
     np.testing.assert_allclose(float(ours_loss), float(loss), rtol=2e-4)
     np.testing.assert_allclose(np.asarray(ours_grad), torch_grad, rtol=2e-3, atol=2e-5)
+
+
+def test_mas_pallas_interpret_matches_golden():
+    """Pallas MAS kernel (interpret mode on CPU) vs the NumPy golden."""
+    from fastspeech2_lightning_tpu.ops.mas import NEG_INF
+    from fastspeech2_lightning_tpu.ops.mas_pallas import mas_width1_pallas
+
+    rng = np.random.default_rng(12)
+    B, T, L = 4, 40, 16
+    la = random_log_attn(rng, B, T, L)
+    in_lens = np.array([16, 9, 5, 12], dtype=np.int32)
+    out_lens = np.array([40, 30, 17, 25], dtype=np.int32)
+    # pre-mask like mas_width1_batched does
+    j_ids = np.arange(L)[None, None, :]
+    i_ids = np.arange(T)[None, :, None]
+    valid = (j_ids < in_lens[:, None, None]) & (i_ids < out_lens[:, None, None])
+    masked = np.where(valid, np.maximum(la, NEG_INF), NEG_INF).astype(np.float32)
+
+    hard = np.asarray(
+        mas_width1_pallas(
+            jnp.array(masked), jnp.array(in_lens), jnp.array(out_lens),
+            interpret=True,
+        )
+    )
+    frame_valid = (np.arange(T)[None, :] < out_lens[:, None])[:, :, None]
+    hard = hard * frame_valid
+    golden = b_mas_numpy(la, in_lens, out_lens)
+    np.testing.assert_array_equal(hard, golden)
