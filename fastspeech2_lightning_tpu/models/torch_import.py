@@ -157,6 +157,59 @@ def _conv_attention(sd, prefix) -> dict:
     }
 
 
+def _gru_cell(sd, prefix) -> dict:
+    """torch GRU layer 0 -> flax GRUCell params.
+
+    torch: weight_ih_l0 [3H, in] rows ordered (r, z, n); weight_hh_l0 [3H, H];
+    bias_ih/bias_hh [3H]. flax: ir/iz/in Dense [in, H] (+bias), hr/hz Dense
+    [H, H] (no bias), hn Dense [H, H] (+bias). torch keeps separate b_ir/b_hr
+    for r,z — they always add, so they fold into the flax i-side bias."""
+    w_ih = _t(sd, f"{prefix}.weight_ih_l0")
+    w_hh = _t(sd, f"{prefix}.weight_hh_l0")
+    b_ih = _t(sd, f"{prefix}.bias_ih_l0")
+    b_hh = _t(sd, f"{prefix}.bias_hh_l0")
+    H = w_hh.shape[1]
+    wir, wiz, win = w_ih[:H], w_ih[H : 2 * H], w_ih[2 * H :]
+    whr, whz, whn = w_hh[:H], w_hh[H : 2 * H], w_hh[2 * H :]
+    bir, biz, bin_ = b_ih[:H], b_ih[H : 2 * H], b_ih[2 * H :]
+    bhr, bhz, bhn = b_hh[:H], b_hh[H : 2 * H], b_hh[2 * H :]
+    return {
+        "ir": {"kernel": wir.T, "bias": bir + bhr},
+        "iz": {"kernel": wiz.T, "bias": biz + bhz},
+        "in": {"kernel": win.T, "bias": bin_},
+        "hr": {"kernel": whr.T},
+        "hz": {"kernel": whz.T},
+        "hn": {"kernel": whn.T, "bias": bhn},
+    }
+
+
+def _gst(sd, prefix) -> Tuple[dict, dict]:
+    """ESPnet StyleEncoder -> our gst module (fs2/gst/model.py)."""
+    ref_p: Dict = {}
+    ref_s: Dict = {}
+    for i in range(6):
+        w = _t(sd, f"{prefix}.ref_enc.convs.{3 * i}.weight")  # [out,in,kh,kw]
+        ref_p[f"conv_{i}"] = {"kernel": np.transpose(w, (2, 3, 1, 0))}
+        bnp = f"{prefix}.ref_enc.convs.{3 * i + 1}"
+        ref_p[f"bn_{i}"] = {
+            "scale": _t(sd, f"{bnp}.weight"),
+            "bias": _t(sd, f"{bnp}.bias"),
+        }
+        ref_s[f"bn_{i}"] = {
+            "mean": _t(sd, f"{bnp}.running_mean"),
+            "var": _t(sd, f"{bnp}.running_var"),
+        }
+    ref_p["gru"] = _gru_cell(sd, f"{prefix}.ref_enc.gru")
+    stl = {
+        "gst_embs": _t(sd, f"{prefix}.stl.gst_embs"),
+        "linear_q": _linear(sd, f"{prefix}.stl.mha.linear_q"),
+        "linear_k": _linear(sd, f"{prefix}.stl.mha.linear_k"),
+        "linear_v": _linear(sd, f"{prefix}.stl.mha.linear_v"),
+        "linear_out": _linear(sd, f"{prefix}.stl.mha.linear_out"),
+    }
+    return {"ref_enc": ref_p, "stl": stl}, {"ref_enc": ref_s}
+
+
 def import_torch_fastspeech2(
     state_dict: dict,
     config,
@@ -230,10 +283,9 @@ def import_torch_fastspeech2(
             "embedding": _t(sd, "language_embedding.weight")
         }
     if mcfg.use_global_style_token_module:
-        warnings.append(
-            "GST weights are not imported yet (GRU gate-layout mapping "
-            "pending); the gst/ subtree keeps its fresh initialization."
-        )
+        gst_p, gst_s = _gst(sd, "gst")
+        params["gst"] = gst_p
+        batch_stats["gst"] = gst_s
 
     # account for unused reference keys (buffers we recompute, etc.)
     known_unused = [

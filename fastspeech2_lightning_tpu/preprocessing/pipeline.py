@@ -57,6 +57,38 @@ def load_wav(path: Path, target_sr: int) -> np.ndarray:
     return audio
 
 
+def apply_sox_effects(audio: np.ndarray, sr: int, effects: list) -> tuple[np.ndarray, int]:
+    """Apply the subset of sox effects the reference configs use
+    (everyvoice source_data.sox_effects — e.g. [['channels','1']]):
+    channels (mono downmix), rate (resample), norm/gain (level), trim."""
+    from scipy.signal import resample_poly
+
+    for effect in effects or []:
+        name, *args = effect if isinstance(effect, (list, tuple)) else [effect]
+        if name == "channels":
+            if audio.ndim > 1 and int(args[0]) == 1:
+                audio = audio.mean(axis=1)
+        elif name == "rate":
+            target = int(float(args[0]))
+            if target != sr:
+                g = np.gcd(sr, target)
+                audio = resample_poly(audio, target // g, sr // g).astype(np.float32)
+                sr = target
+        elif name == "norm":
+            level_db = float(args[0]) if args else -3.0
+            peak = np.abs(audio).max() or 1.0
+            audio = audio * (10 ** (level_db / 20.0) / peak)
+        elif name == "gain":
+            audio = audio * (10 ** (float(args[0]) / 20.0))
+        elif name == "trim":
+            start = float(args[0]) if args else 0.0
+            audio = audio[int(start * sr):]
+            if len(args) > 1:
+                audio = audio[: int(float(args[1]) * sr)]
+        # unknown effects are ignored with a note (sox's long tail)
+    return audio.astype(np.float32), sr
+
+
 def save_wav(path: Path, audio: np.ndarray, sr: int) -> None:
     from scipy.io import wavfile
 
@@ -99,7 +131,11 @@ class Preprocessor:
         return character_tokens, phone_tokens, pfs
 
     def process_utterance(
-        self, item: dict, data_dir: Path, steps: Iterable[str] = ALL_STEPS
+        self,
+        item: dict,
+        data_dir: Path,
+        steps: Iterable[str] = ALL_STEPS,
+        sox_effects: Optional[list] = None,
     ) -> Optional[dict]:
         """Extract and save artifacts for one utterance; returns the enriched
         filelist row (with token strings) or None if filtered out."""
@@ -111,6 +147,17 @@ class Preprocessor:
 
         wav_path = data_dir / f"{basename}.wav"
         audio = load_wav(wav_path, a.input_sampling_rate)
+        if sox_effects:
+            audio, new_sr = apply_sox_effects(
+                audio, a.input_sampling_rate, sox_effects
+            )
+            if new_sr != a.input_sampling_rate:
+                from scipy.signal import resample_poly
+
+                g = np.gcd(new_sr, a.input_sampling_rate)
+                audio = resample_poly(
+                    audio, a.input_sampling_rate // g, new_sr // g
+                ).astype(np.float32)
         dur_s = len(audio) / a.input_sampling_rate
         if dur_s < a.min_audio_length or dur_s > a.max_audio_length:
             return None
@@ -207,7 +254,11 @@ class Preprocessor:
         for source in self.config.preprocessing.source_data:
             items = load_filelist(source.filelist)
             worker = functools.partial(
-                _process_one, config=self.config, data_dir=Path(source.data_dir), steps=tuple(steps)
+                _process_one,
+                config=self.config,
+                data_dir=Path(source.data_dir),
+                steps=tuple(steps),
+                sox_effects=list(source.sox_effects or []),
             )
             n_workers = cpus or self.config.preprocessing.cpus or 1
             if n_workers > 1:
@@ -268,6 +319,8 @@ class Preprocessor:
         )
 
 
-def _process_one(item: dict, config: FastSpeech2Config, data_dir: Path, steps):
+def _process_one(
+    item: dict, config: FastSpeech2Config, data_dir: Path, steps, sox_effects=None
+):
     """Top-level worker for multiprocessing pickling."""
-    return Preprocessor(config).process_utterance(item, data_dir, steps)
+    return Preprocessor(config).process_utterance(item, data_dir, steps, sox_effects)

@@ -179,3 +179,24 @@ def test_pipeline_end_to_end(corpus: FastSpeech2Config):
 
     stats = result["stats"]
     assert stats.pitch.std > 0 and stats.energy.std > 0
+
+
+def test_sox_effects_subset():
+    from fastspeech2_lightning_tpu.preprocessing.pipeline import apply_sox_effects
+
+    rng = np.random.default_rng(0)
+    stereo = rng.standard_normal((1000, 2)).astype(np.float32)
+    mono, sr = apply_sox_effects(stereo, 22050, [["channels", "1"]])
+    assert mono.ndim == 1
+    np.testing.assert_allclose(mono, stereo.mean(axis=1), rtol=1e-6)
+
+    down, sr2 = apply_sox_effects(mono, 22050, [["rate", "11025"]])
+    assert sr2 == 11025 and abs(len(down) - 500) <= 2
+
+    normed, _ = apply_sox_effects(mono, 22050, [["norm", "-3"]])
+    np.testing.assert_allclose(
+        np.abs(normed).max(), 10 ** (-3 / 20), rtol=1e-4
+    )
+
+    trimmed, _ = apply_sox_effects(mono, 22050, [["trim", "0.01"]])
+    assert len(trimmed) == 1000 - 220

@@ -112,6 +112,39 @@ def build_synthetic_torch_sd(cfg, n_symbols=30, seed=0):
         ).astype(np.float32) + 0.5
 
     add("position_embedding.inv_freq", d // 2)
+
+    if cfg.model.use_global_style_token_module:
+        chans = (32, 32, 64, 64, 128, 128)
+        cin = 1
+        for i, cout in enumerate(chans):
+            add(f"gst.ref_enc.convs.{3 * i}.weight", cout, cin, 3, 3)
+            add(f"gst.ref_enc.convs.{3 * i + 1}.weight", cout)
+            add(f"gst.ref_enc.convs.{3 * i + 1}.bias", cout)
+            add(f"gst.ref_enc.convs.{3 * i + 1}.running_mean", cout)
+            sd[f"gst.ref_enc.convs.{3 * i + 1}.running_var"] = np.abs(
+                rng.standard_normal(cout)
+            ).astype(np.float32) + 0.5
+            cin = cout
+        # GRU input = ceil(n_mels / 2^6) * 128 channels
+        import math
+
+        gru_in = max(1, math.ceil(n_mels / 64)) * 128
+        H = 128
+        add("gst.ref_enc.gru.weight_ih_l0", 3 * H, gru_in)
+        add("gst.ref_enc.gru.weight_hh_l0", 3 * H, H)
+        add("gst.ref_enc.gru.bias_ih_l0", 3 * H)
+        add("gst.ref_enc.gru.bias_hh_l0", 3 * H)
+        heads = 4
+        tok_dim = d
+        add("gst.stl.gst_embs", 10, tok_dim // heads)
+        add("gst.stl.mha.linear_q.weight", tok_dim, H)
+        add("gst.stl.mha.linear_q.bias", tok_dim)
+        add("gst.stl.mha.linear_k.weight", tok_dim, tok_dim // heads)
+        add("gst.stl.mha.linear_k.bias", tok_dim)
+        add("gst.stl.mha.linear_v.weight", tok_dim, tok_dim // heads)
+        add("gst.stl.mha.linear_v.bias", tok_dim)
+        add("gst.stl.mha.linear_out.weight", tok_dim, tok_dim)
+        add("gst.stl.mha.linear_out.bias", tok_dim)
     return sd
 
 
@@ -154,6 +187,60 @@ def test_imported_tree_matches_init_tree():
         {"params": params, "batch_stats": batch_stats}, batch, deterministic=True
     )
     assert np.isfinite(np.asarray(out["output"])).all()
+
+
+def test_imported_tree_with_gst():
+    cfg = tiny_config(learn_alignment=True, use_global_style_token_module=True)
+    sd = build_synthetic_torch_sd(cfg)
+    params, batch_stats, _ = import_torch_fastspeech2(sd, cfg)
+    model = FastSpeech2(
+        config=cfg, stats=tiny_stats(), n_symbols=30, n_speakers=1, n_languages=1
+    )
+    rng = np.random.default_rng(0)
+    batch = synthetic_batch(rng)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)}, batch
+    )
+    ours = tree_paths_shapes(variables["params"])
+    imported = tree_paths_shapes(params)
+    assert set(ours) == set(imported), (
+        sorted(set(ours) ^ set(imported))[:10]
+    )
+    for k in ours:
+        assert tuple(ours[k]) == tuple(imported[k]), (k, ours[k], imported[k])
+    out = model.apply(
+        {"params": params, "batch_stats": batch_stats}, batch, deterministic=True
+    )
+    assert np.isfinite(np.asarray(out["output"])).all()
+
+
+def test_gru_cell_import_matches_torch():
+    """flax GRUCell with imported weights reproduces torch GRU outputs."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from fastspeech2_lightning_tpu.models.torch_import import _gru_cell
+
+    torch.manual_seed(0)
+    IN, H, T, B = 6, 5, 7, 2
+    gru = torch.nn.GRU(IN, H, 1, batch_first=True)
+    x = torch.randn(B, T, IN)
+    with torch.no_grad():
+        out_t, h_t = gru(x)
+
+    sd = {
+        f"g.{k}": v.detach().numpy() for k, v in gru.state_dict().items()
+    }
+    params = _gru_cell(sd, "g")
+
+    cell = nn.GRUCell(features=H)
+    rnn = nn.RNN(cell)
+    v = rnn.init(jax.random.PRNGKey(0), jnp.zeros((B, T, IN)))
+    out_j = rnn.apply({"params": {"cell": params}}, jnp.array(x.numpy()))
+    np.testing.assert_allclose(
+        np.asarray(out_j), out_t.numpy(), rtol=1e-4, atol=1e-5
+    )
 
 
 def test_missing_key_raises_clearly():
