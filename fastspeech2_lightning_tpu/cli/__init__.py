@@ -202,8 +202,16 @@ def synthesize(
 )
 @click.option("--warmup-reps", type=int, default=10)
 @click.option("--repetitions", type=int, default=300)
+@click.option(
+    "--profile-dir",
+    type=click.Path(path_type=Path),
+    default=None,
+    help="Capture a jax.profiler trace of the timed region into this directory.",
+)
 @_config_args_option
-def benchmark(config_file: Path, benchmark_type, warmup_reps, repetitions, config_args):
+def benchmark(
+    config_file: Path, benchmark_type, warmup_reps, repetitions, profile_dir, config_args
+):
     """Parity with fs2/cli/benchmark.py: one collated batch, warmup, timed
     reps, mean/std ms."""
     import time
@@ -251,11 +259,16 @@ def benchmark(config_file: Path, benchmark_type, warmup_reps, repetitions, confi
     for _ in range(warmup_reps):
         out = jf(variables, device_batch)
     jax.block_until_ready(out)
+    if profile_dir is not None:
+        jax.profiler.start_trace(str(profile_dir))
     timings = np.zeros(repetitions)
     for rep in range(repetitions):
         t0 = time.perf_counter()
         jf(variables, device_batch).block_until_ready()
         timings[rep] = (time.perf_counter() - t0) * 1000
+    if profile_dir is not None:
+        jax.profiler.stop_trace()
+        click.echo(f"Wrote profiler trace to {profile_dir}")
     click.echo(
         f"Average forward pass for {benchmark_type} duration after "
         f"{repetitions} repetitions: {timings.mean()} ms "

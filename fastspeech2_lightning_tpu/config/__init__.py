@@ -137,7 +137,23 @@ class PreprocessingConfig(ConfigModel):
 # ---------------------------------------------------------------------------
 
 
+class BoundaryConfig(ConfigModel):
+    """Per-language strong/weak chunking boundary characters
+    (everyvoice TextConfig.boundaries surface, fs2/cli/synthesize.py:95-100)."""
+
+    strong: str = ".!?:;"
+    weak: str = ",-— "
+
+
 class TextConfig(ConfigModel):
+    split_text: bool = Field(
+        default=True,
+        description="Whether to chunk long inputs at synthesis time.",
+    )
+    boundaries: dict = Field(
+        default_factory=dict,
+        description="language -> {strong, weak} boundary characters.",
+    )
     symbols: dict = Field(
         default_factory=dict,
         description="Mapping of named symbol sets (lists of strings); the union "
@@ -305,6 +321,11 @@ class FastSpeech2TrainingConfig(ConfigModel):
             betas=(0.9, 0.999), learning_rate=1e-3, warmup_steps=1000, weight_decay=1e-6
         )
     )
+    # The reference defines EarlyStoppingConfig but never wires it up
+    # (fs2/config/__init__.py:204-205 TODO); here it is implemented: training
+    # stops when the monitored validation loss hasn't improved for `patience`
+    # validation rounds (metric 'none' disables it).
+    early_stopping: EarlyStoppingConfig = Field(default_factory=EarlyStoppingConfig)
     vocoder_path: Optional[Path] = None
     mel_loss_weight: float = Field(default=1.0)
     postnet_loss_weight: float = Field(default=1.0)

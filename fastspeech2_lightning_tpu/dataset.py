@@ -101,6 +101,10 @@ class FastSpeechDataset:
         }
 
         loaded["text"] = self._encode_text(item)
+        # cap text length (model.max_length, fs2/config/__init__.py:147-150)
+        max_len = self.config.model.max_length
+        if loaded["text"].shape[0] > max_len:
+            loaded["text"] = loaded["text"][:max_len]
 
         load_targets = self.teacher_forcing or not self.inference
         if load_targets:
@@ -126,11 +130,26 @@ class FastSpeechDataset:
                         basename, speaker, language, "duration", "duration.npy"
                     ).astype(np.int32)
                 except FileNotFoundError as e:
-                    raise FileNotFoundError(
-                        "model.learn_alignment=false requires precomputed "
-                        "durations under preprocessed/duration "
-                        "(fs2/dataset.py:144-152 semantics)."
+                    from .exceptions import InvalidConfiguration
+
+                    raise InvalidConfiguration(
+                        "You set model.learn_alignment = false, an advanced "
+                        "configuration which requires providing text/audio "
+                        "alignments before training, but those alignments "
+                        "were not found (fs2/dataset.py:144-152)."
                     ) from e
+                # data validation: durations must sum to the mel length
+                # (BadDataError parity, fs2/variance_adaptor.py:289-305)
+                dur_sum = int(loaded["duration"].sum())
+                n_frames = int(loaded["mel"].shape[0])
+                if dur_sum != n_frames:
+                    from .exceptions import BadDataError
+
+                    raise BadDataError(
+                        f"Something failed with the following items, please "
+                        f"check them for errors: ['{basename}'] (durations "
+                        f"sum to {dur_sum} but the mel has {n_frames} frames)"
+                    )
         if not self.inference:
             loaded["energy"] = self._load(
                 basename, speaker, language, "energy", "energy.npy"

@@ -1,0 +1,12 @@
+"""Typed exceptions (parity with everyvoice.exceptions surface used by the
+reference — SURVEY.md §5.3)."""
+
+
+class BadDataError(Exception):
+    """Raised when data fails validation (e.g., precomputed durations that do
+    not sum to the mel length — fs2/variance_adaptor.py:289-305)."""
+
+
+class InvalidConfiguration(Exception):
+    """Raised for configuration combinations that cannot work (e.g.,
+    learn_alignment=False without precomputed durations — fs2/dataset.py:149)."""

@@ -39,10 +39,13 @@ def validate_data_keys_with_model_keys(
 
 
 def get_text_split_params(
-    stats, text_representation: DatasetTextRepresentation
+    stats,
+    text_representation: DatasetTextRepresentation,
+    config=None,
+    language: Optional[str] = None,
 ) -> tuple[int, int, str, str]:
-    """(desired_length, max_length, strong, weak) from corpus stats
-    (fs2/cli/synthesize.py:75-128)."""
+    """(desired_length, max_length, strong, weak) from corpus stats and the
+    text config's per-language boundaries (fs2/cli/synthesize.py:75-128)."""
     desired, maxi = 100, 200
     try:
         if text_representation == DatasetTextRepresentation.characters:
@@ -53,7 +56,15 @@ def get_text_split_params(
             maxi = int(stats.phone_length.max)
     except AttributeError:
         pass
-    return desired, maxi, ".!?:;", ",-— "
+    strong, weak = ".!?:;", ",-— "
+    if config is not None:
+        b = config.text.boundaries.get(language or "", None) or config.text.boundaries.get(
+            "default", None
+        )
+        if isinstance(b, dict):
+            strong = b.get("strong", strong)
+            weak = b.get("weak", weak)
+    return desired, maxi, strong, weak
 
 
 def prepare_data(
@@ -68,12 +79,16 @@ def prepare_data(
     text_representation: DatasetTextRepresentation = DatasetTextRepresentation.characters,
     duration_control: float = 1.0,
     style_reference: Optional[Path] = None,
-    split_text: bool = True,
+    split_text: Optional[bool] = None,
 ) -> List[dict]:
     """Chunked, validated synthesis items (fs2/cli/synthesize.py:218-319)."""
     default_language = next(iter(lang2id.keys()), None)
     default_speaker = next(iter(speaker2id.keys()), None)
-    desired, maxi, strong, weak = get_text_split_params(stats, text_representation)
+    if split_text is None:
+        split_text = config.text.split_text
+    desired, maxi, strong, weak = get_text_split_params(
+        stats, text_representation, config, language or default_language
+    )
 
     def make_items(text: str, lang, spk, basename: Optional[str] = None):
         chunks = (

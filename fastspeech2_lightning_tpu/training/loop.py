@@ -133,7 +133,11 @@ class Trainer:
         epoch = 0
         t0 = time.time()
         val_interval = config.training.val_check_interval or 500
-        while step < max_steps and epoch < config.training.max_epochs:
+        es = config.training.early_stopping
+        best_monitor = float("inf")
+        stale_validations = 0
+        stop_early = False
+        while step < max_steps and epoch < config.training.max_epochs and not stop_early:
             for batch in loader:
                 db = _device_batch(batch)
                 state, losses = train_step(state, db, rng, epoch)
@@ -159,6 +163,20 @@ class Trainer:
                     prune_checkpoints(
                         self.ckpt_dir, config.training.save_top_k_ckpts, MONITOR
                     )
+                    if es.metric.value != "none":
+                        current = val_losses.get("total", float("inf"))
+                        if current < best_monitor - 1e-6:
+                            best_monitor = current
+                            stale_validations = 0
+                        else:
+                            stale_validations += 1
+                            if stale_validations >= es.patience:
+                                print(
+                                    f"early stopping: {MONITOR} stale for "
+                                    f"{stale_validations} validations"
+                                )
+                                stop_early = True
+                                break
                 if step >= max_steps:
                     break
             epoch += 1
