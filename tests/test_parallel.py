@@ -97,8 +97,11 @@ def test_train_step_dp_matches_single_device():
     with mesh:
         s8, losses8 = ts(state2, sharded, jax.random.PRNGKey(1), 0)
     for k in losses1:
+        # grad_norm sums squares over every parameter: reduction order across
+        # shards shifts it slightly more than the per-loss scalars
+        rtol = 2e-3 if k == "grad_norm" else 2e-4
         np.testing.assert_allclose(
-            float(losses1[k]), float(losses8[k]), rtol=2e-4, atol=2e-5
+            float(losses1[k]), float(losses8[k]), rtol=rtol, atol=2e-5
         )
 
 
