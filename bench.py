@@ -27,7 +27,12 @@ from pathlib import Path
 
 import numpy as np
 
-B, L, T = 16, 128, 1024
+# TPU measurement batch: large enough that the chip, not per-call dispatch,
+# is the bottleneck (throughput scales ~linearly 16->128). The CPU baseline
+# uses CPU_B (eager torch is batch-insensitive per frame; a full B would just
+# make the baseline run take minutes). Both report frames/s.
+B, L, T = 64, 128, 1024
+CPU_B = 16
 N_MELS = 80
 WARMUP = 5
 REPS = 30
@@ -211,8 +216,8 @@ def measure_cpu_baseline() -> float:
     torch.manual_seed(0)
     model = _torch_baseline_model()
     rng = np.random.default_rng(0)
-    text = torch.tensor(rng.integers(1, 60, size=(B, L)), dtype=torch.long)
-    durations = torch.full((B, L), T // L, dtype=torch.long)
+    text = torch.tensor(rng.integers(1, 60, size=(CPU_B, L)), dtype=torch.long)
+    durations = torch.full((CPU_B, L), T // L, dtype=torch.long)
     with torch.no_grad():
         _, lens = model(text, durations)
         frames = int(lens.sum())
