@@ -93,7 +93,7 @@ def get_stubbed_model(
     return model, path
 
 
-def get_stubbed_vocoder(ckpt_dir: Path) -> Tuple[object, Path]:
+def get_stubbed_vocoder(ckpt_dir: Path, n_mels: int = 20) -> Tuple[object, Path]:
     """(vocoder_fn, checkpoint_path): a tiny random-weight HiFiGAN saved as
     .npz, loadable through load_vocoder_checkpoint."""
     from .models.hifigan import (
@@ -108,7 +108,7 @@ def get_stubbed_vocoder(ckpt_dir: Path) -> Tuple[object, Path]:
         upsample_initial_channel=32,
         resblock_kernel_sizes=(3,),
         resblock_dilation_sizes=((1, 3),),
-        n_mels=20,
+        n_mels=n_mels,
     )
     params = init_random_hifigan(config)
     path = Path(ckpt_dir) / "stub_vocoder.npz"
