@@ -97,6 +97,37 @@ def check_data_from_filelist(
     return [check_datapoint(item, preprocessor, word_seg_token) for item in filelist]
 
 
+def add_coverage_scores(data: List[dict], preprocessor: Preprocessor) -> None:
+    """phone/trigram coverage scores over the filelist (parity with
+    fs2/cli/synthesize.py:389-409): rarity-weighted token and trigram sums,
+    used to rank which utterances add the most coverage."""
+    from collections import Counter
+
+    def tokens_of(line: dict) -> List[str]:
+        if line.get("character_tokens"):
+            return line["character_tokens"].split("/")
+        ct, pt, _ = preprocessor.process_text(line)
+        return pt or ct
+
+    def trigrams(tokens: List[str]):
+        padded = ["<BOS>"] + list(tokens) + ["<EOS>"]
+        return [tuple(padded[i : i + 3]) for i in range(len(padded) - 2)]
+
+    token_counter: Counter = Counter()
+    trigram_counter: Counter = Counter()
+    token_cache = []
+    for line in data:
+        tokens = tokens_of(line)
+        token_cache.append(tokens)
+        token_counter.update(tokens)
+        trigram_counter.update(trigrams(tokens))
+    for line, tokens in zip(data, token_cache):
+        line["phone_coverage_score"] = sum(1 / token_counter[t] for t in tokens)
+        line["trigram_coverage_score"] = sum(
+            1 / trigram_counter[n] for n in trigrams(tokens)
+        )
+
+
 def check_data_command(
     config: FastSpeech2Config,
     filelist: Optional[Path],
@@ -135,6 +166,7 @@ def check_data_command(
         ) = load_model_from_checkpoint(model_path)
         for item in combined:
             item.setdefault("is_last_input_chunk", True)
+        add_coverage_scores(combined, preprocessor)
         writers = get_synthesis_output_writers(
             [], output_dir, mconfig,
             "postnet_output" if mconfig.model.use_postnet else "output",

@@ -337,6 +337,11 @@ class FastSpeech2TrainingConfig(ConfigModel):
     attn_bin_loss_warmup_epochs: Annotated[int, Field(ge=1)] = Field(default=100)
     gradient_clip_val: float = Field(default=1.0)
     seed: int = Field(default=0)
+    bucket_count: int = Field(
+        default=4,
+        description="Number of static (text, mel) length buckets; each bucket "
+        "is one compiled program (TPU-specific; no reference equivalent).",
+    )
 
     @field_validator(
         "training_filelist", "validation_filelist", "vocoder_path", mode="before"

@@ -166,6 +166,10 @@ class FastSpeechDataset:
                 ).astype(np.float32)
         if self.style_reference and "mel_style_reference" in item:
             loaded["mel_style_reference"] = item["mel_style_reference"]
+        # scoring mode passthrough (fs2/dataset.py:218-222)
+        for key in ("phone_coverage_score", "trigram_coverage_score"):
+            if key in item:
+                loaded[key] = float(item[key])
         return loaded
 
 
@@ -214,6 +218,9 @@ def collate(
         ),
         "is_last_input_chunk": [s.get("is_last_input_chunk", True) for s in samples],
     }
+    for key in ("phone_coverage_score", "trigram_coverage_score"):
+        if key in samples[0]:
+            batch[key] = np.array([s[key] for s in samples], dtype=np.float32)
 
     text = np.zeros((B, L), dtype=np.int32)
     for i, s in enumerate(samples):

@@ -95,7 +95,8 @@ def synthesize_items(
 
     host_keys = {
         "basename", "speaker", "language", "raw_text", "is_last_input_chunk",
-        "max_src_len", "max_mel_len",
+        "max_src_len", "max_mel_len", "phone_coverage_score",
+        "trigram_coverage_score",
     }
     from ..dataset import _round_up, PAD_MULT_TEXT
 

@@ -90,6 +90,7 @@ class Trainer:
         loader = BucketedLoader(
             train_ds,
             config.training.batch_size,
+            n_buckets=config.training.bucket_count,
             seed=config.training.seed,
             use_weighted_sampler=config.training.use_weighted_sampler,
             max_mel_length=config.model.max_mel_length,
@@ -97,6 +98,7 @@ class Trainer:
         val_loader = BucketedLoader(
             val_ds,
             min(config.training.batch_size, max(len(val_ds), 1)),
+            n_buckets=config.training.bucket_count,
             seed=config.training.seed,
             max_mel_length=config.model.max_mel_length,
         )

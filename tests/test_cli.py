@@ -75,6 +75,7 @@ def corpus_dir(tmp_path_factory):
         },
         "training": {
             "batch_size": 2,
+            "bucket_count": 1,
             "training_filelist": str(root / "preprocessed" / "training_filelist.psv"),
             "validation_filelist": str(root / "preprocessed" / "validation_filelist.psv"),
             "logger": {"save_dir": str(root / "logs")},
