@@ -60,12 +60,24 @@ def preprocess(config_file: Path, steps, cpus, config_args):
 @_config_args_option
 @click.option("--max-steps", type=int, default=None)
 @click.option("--resume/--no-resume", default=True)
-def train(config_file: Path, config_args, max_steps, resume):
+@click.option(
+    "--model-parallel", type=int, default=1,
+    help="Tensor-parallel axis size (devices per model shard).",
+)
+@click.option(
+    "--distributed/--no-distributed", default=False,
+    help="Call jax.distributed.initialize() for multi-host meshes.",
+)
+def train(config_file: Path, config_args, max_steps, resume, model_parallel, distributed):
+    if distributed:
+        import jax
+
+        jax.distributed.initialize()
     from ..config import load_config_base_command
     from ..training.loop import Trainer
 
     config = load_config_base_command(config_file, list(config_args))
-    trainer = Trainer(config)
+    trainer = Trainer(config, model_parallel=model_parallel)
     trainer.fit(max_steps=max_steps, resume=resume)
 
 

@@ -42,12 +42,34 @@ def _device_batch(batch: dict) -> dict:
 
 
 class Trainer:
+    """Mesh-aware trainer: with one visible device it runs plain jit; with
+    several it lays the batch over the 'data' axis and the wide matmul params
+    over the optional 'model' axis (parallel/mesh.py rules) — XLA GSPMD
+    inserts the gradient all-reduces. Multi-host: call
+    `jax.distributed.initialize()` before constructing (or pass
+    `--distributed` to the train CLI)."""
+
     def __init__(
         self,
         config: FastSpeech2Config,
         stats: Optional[Stats] = None,
         log_dir: Optional[Path] = None,
+        model_parallel: int = 1,
     ):
+        self.model_parallel = model_parallel
+        self.mesh = None
+        if len(jax.devices()) > 1:
+            mesh = make_mesh(model_parallel=model_parallel)
+            data_size = mesh.shape["data"]
+            if config.training.batch_size % data_size == 0:
+                self.mesh = mesh
+            else:
+                print(
+                    f"training.batch_size={config.training.batch_size} is not "
+                    f"divisible by the data axis ({data_size} devices); "
+                    f"running single-device. Set a divisible batch size to "
+                    f"use the mesh."
+                )
         self.config = config
         save_dir = Path(config.preprocessing.save_dir)
         if stats is None:
@@ -106,6 +128,10 @@ class Trainer:
         rng = jax.random.PRNGKey(config.training.seed)
         example = _device_batch(next(iter(loader)))
         state = create_train_state(config, self.model, rng, example)
+        if self.mesh is not None:
+            from ..parallel import shard_state
+
+            state = shard_state(state, self.mesh)
 
         start_path = None
         if resume:
@@ -142,6 +168,8 @@ class Trainer:
         while step < max_steps and epoch < config.training.max_epochs and not stop_early:
             for batch in loader:
                 db = _device_batch(batch)
+                if self.mesh is not None:
+                    db = shard_batch(db, self.mesh)
                 state, losses = train_step(state, db, rng, epoch)
                 step = int(state.step)
                 if step % 50 == 0 or step == 1:
@@ -193,7 +221,10 @@ class Trainer:
         sums: dict = {}
         n = 0
         for batch in val_loader:
-            losses, out = eval_step(state, _device_batch(batch), epoch)
+            db = _device_batch(batch)
+            if self.mesh is not None:
+                db = shard_batch(db, self.mesh)
+            losses, out = eval_step(state, db, epoch)
             if n == 0:
                 try:
                     self._log_validation_media(state, batch, out)
