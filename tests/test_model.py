@@ -220,3 +220,30 @@ def test_duration_control_scales_length():
     slow = run(2.0)
     fast = run(0.5)
     assert slow >= fast
+
+
+def test_gst_style_reference_inference():
+    """Style-reference conditioning at inference (fs2/model.py:196-198)."""
+    rng = np.random.default_rng(11)
+    cfg, model = build(learn_alignment=True, use_global_style_token_module=True)
+    train_batch = synthetic_batch(rng, learn_alignment=True)
+    variables, _ = init_and_apply(model, train_batch)
+
+    inf_batch = synthetic_batch(rng, learn_alignment=True, inference=True)
+    inf_batch["mel_style_reference"] = rng.standard_normal((2, 40, 20)).astype(
+        np.float32
+    )
+    out_ref = model.apply(
+        variables, inf_batch, inference=True, deterministic=True, max_target_len=64
+    )
+    # without a reference, conditioning falls back to GST token 0
+    inf_batch2 = {k: v for k, v in inf_batch.items() if k != "mel_style_reference"}
+    out_tok = model.apply(
+        variables, inf_batch2, inference=True, deterministic=True, max_target_len=64
+    )
+    assert np.isfinite(np.asarray(out_ref["output"])).all()
+    assert np.isfinite(np.asarray(out_tok["output"])).all()
+    # the two conditioning paths produce different outputs
+    assert not np.allclose(
+        np.asarray(out_ref["output"]), np.asarray(out_tok["output"])
+    )
