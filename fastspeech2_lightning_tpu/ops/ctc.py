@@ -60,10 +60,27 @@ def _lse3(a, b, c):
     return jnp.where(jnp.isfinite(m), out, NEG_INF)
 
 
+def _use_pallas(B, T, S) -> bool:
+    try:
+        import jax as _jax
+
+        return _jax.default_backend() == "tpu" and B * S * 4 <= 2**20
+    except Exception:
+        return False
+
+
 def _alpha_scan(logprobs, L):
     """alphas [T, B, S] for uniform (padding-blanked) logprobs."""
     B, T, _ = logprobs.shape
     s_ids, state_label, odd = _state_maps(L)
+    S = 2 * L + 1
+
+    if _use_pallas(B, T, S):
+        from .ctc_pallas import banded_lse_scan_pallas
+
+        emis = logprobs[:, :, state_label]  # [B, T, S] state-space emissions
+        alphas = banded_lse_scan_pallas(emis, left=False, add_emis_first=True)
+        return jnp.swapaxes(alphas, 0, 1)  # [T, B, S]
 
     def emit(frame_logp):  # [B, L+1] -> [B, S]
         return frame_logp[:, state_label]
@@ -140,25 +157,43 @@ def _ctc_bwd(residuals, g):
         NEG_INF,
     )
 
-    def shift_left(a):
-        return jnp.concatenate([a[:, 1:], jnp.full((B, 1), NEG_INF)], axis=1)
+    if _use_pallas(B, T, S):
+        from .ctc_pallas import banded_lse_scan_pallas
 
-    def step(beta_next, frame_logp_next):
-        # beta_t(s) = lse over s' in {s, s+1, s+2 odd} of
-        #             beta_{t+1}(s') + y_{t+1}(label(s'))
-        w = beta_next + emit(frame_logp_next)  # [B, S]
-        b0 = w
-        b1 = shift_left(w)
-        # skip into s+2 allowed only when s+2 is odd <=> s is odd
-        b2 = jnp.where(odd[None, :], shift_left(b1), NEG_INF)
-        beta = jnp.maximum(_lse3(b0, b1, b2), NEG_INF)
-        return beta, beta_next  # record beta_{t+1}
+        emis = y[:, :, state_label]  # [B, T, S]
+        # feed reversed emissions with the final-state seed folded into the
+        # first row: w_{T-1} = beta_{T-1} + emis_{T-1}
+        emis_rev = jnp.flip(emis, axis=1)
+        emis_rev = emis_rev.at[:, 0, :].add(beta_last)
+        rows = banded_lse_scan_pallas(
+            emis_rev, left=True, add_emis_first=False
+        )  # [B, T, S]: rows[k] = beta_{T-2-k}; rows[T-1] = beta_{-1} (unused)
+        betas_rev = jnp.swapaxes(rows, 0, 1)[: T - 1]  # beta_{T-2}..beta_0
+        betas = jnp.concatenate(
+            [jnp.flip(betas_rev, axis=0), beta_last[None]], axis=0
+        )  # [T, B, S]
+    else:
+        def shift_left(a):
+            return jnp.concatenate(
+                [a[:, 1:], jnp.full((B, 1), NEG_INF)], axis=1
+            )
 
-    ys = jnp.flip(jnp.swapaxes(y, 0, 1)[1:], axis=0)  # y_{T-1} .. y_1
-    beta_first, betas_rev = jax.lax.scan(step, beta_last, ys, unroll=8)
-    betas = jnp.concatenate(
-        [beta_first[None], jnp.flip(betas_rev, axis=0)], axis=0
-    )  # [T, B, S]
+        def step(beta_next, frame_logp_next):
+            # beta_t(s) = lse over s' in {s, s+1, s+2 odd} of
+            #             beta_{t+1}(s') + y_{t+1}(label(s'))
+            w = beta_next + emit(frame_logp_next)  # [B, S]
+            b0 = w
+            b1 = shift_left(w)
+            # skip into s+2 allowed only when s+2 is odd <=> s is odd
+            b2 = jnp.where(odd[None, :], shift_left(b1), NEG_INF)
+            beta = jnp.maximum(_lse3(b0, b1, b2), NEG_INF)
+            return beta, beta_next  # record beta_{t+1}
+
+        ys = jnp.flip(jnp.swapaxes(y, 0, 1)[1:], axis=0)  # y_{T-1} .. y_1
+        beta_first, betas_rev = jax.lax.scan(step, beta_last, ys, unroll=8)
+        betas = jnp.concatenate(
+            [beta_first[None], jnp.flip(betas_rev, axis=0)], axis=0
+        )  # [T, B, S]
 
     gamma = jnp.exp(
         jnp.clip(alphas + betas - ll[None, :, None], -80.0, 0.0)

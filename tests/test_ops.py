@@ -250,3 +250,80 @@ def test_mas_pallas_interpret_matches_golden():
     hard = hard * frame_valid
     golden = b_mas_numpy(la, in_lens, out_lens)
     np.testing.assert_array_equal(hard, golden)
+
+
+def test_ctc_pallas_kernels_match_scan():
+    """Pallas banded-lse kernels (interpret mode) vs the scan implementations."""
+    from fastspeech2_lightning_tpu.ops.ctc import (
+        _alpha_scan,
+        _state_maps,
+        _uniform_logprobs,
+        NEG_INF as CNEG,
+    )
+    from fastspeech2_lightning_tpu.ops.ctc_pallas import banded_lse_scan_pallas
+
+    rng = np.random.default_rng(13)
+    B, T, L = 2, 40, 5
+    S = 2 * L + 1
+    logits = rng.standard_normal((B, T, L + 1)).astype(np.float32)
+    out_lens = np.array([40, 25], dtype=np.int32)
+    y = _uniform_logprobs(
+        jax.nn.log_softmax(jnp.array(logits), axis=-1), jnp.array(out_lens)
+    )
+    _, state_label, _ = _state_maps(L)
+    alphas_scan = _alpha_scan(y, L)  # [T, B, S] (CPU -> scan path)
+    emis = y[:, :, state_label]
+    alphas_pal = banded_lse_scan_pallas(
+        emis, left=False, add_emis_first=True, interpret=True
+    )
+    valid = np.asarray(alphas_scan) > 0.9 * CNEG
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(alphas_pal, 0, 1))[valid],
+        np.asarray(alphas_scan)[valid],
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_ctc_grad_pallas_interpret_matches_scan_grad():
+    """End-to-end grad with kernels forced on (interpret) == scan grad."""
+    import fastspeech2_lightning_tpu.ops.ctc as ctc_mod
+    import fastspeech2_lightning_tpu.ops.ctc_pallas as cp
+
+    rng = np.random.default_rng(14)
+    B, T, L = 2, 30, 6
+    attn = rng.standard_normal((B, T, L)).astype(np.float32) * 0.3
+    il = jnp.array([6, 4], dtype=jnp.int32)
+    ol = jnp.array([30, 18], dtype=jnp.int32)
+
+    g_scan = jax.grad(lambda a: ctc_mod.attention_ctc_loss(a, il, ol))(
+        jnp.array(attn)
+    )
+
+    orig_use, orig_scan = ctc_mod._use_pallas, cp.banded_lse_scan_pallas
+    try:
+        ctc_mod._use_pallas = lambda *a: True
+        import functools as ft
+
+        cp_fn = orig_scan
+
+        def interp(*args, **kw):
+            kw["interpret"] = True
+            return cp_fn(*args, **kw)
+
+        # patch the symbol the ctc module imports at call time
+        cp.banded_lse_scan_pallas = interp
+        import sys
+        mod = sys.modules["fastspeech2_lightning_tpu.ops.ctc_pallas"]
+        mod.banded_lse_scan_pallas = interp
+        g_pal = jax.grad(lambda a: ctc_mod.attention_ctc_loss(a, il, ol))(
+            jnp.array(attn)
+        )
+    finally:
+        ctc_mod._use_pallas = orig_use
+        cp.banded_lse_scan_pallas = orig_scan
+        import sys
+        sys.modules["fastspeech2_lightning_tpu.ops.ctc_pallas"].banded_lse_scan_pallas = orig_scan
+
+    np.testing.assert_allclose(
+        np.asarray(g_pal), np.asarray(g_scan), rtol=1e-4, atol=1e-6
+    )
