@@ -39,7 +39,7 @@ def _mas_kernel(la_ref, h_init_ref, out_lens_ref, work_ref):
     row0 = la_ref[0] + jnp.where(lane_ids == 0, 0.0, NEG_INF)
     work_ref[0] = row0
 
-    def fwd(i, row):
+    def fwd_one(i, row):
         shifted = pltpu.roll(row, 1, 1)
         shifted = jnp.where(lane_ids == 0, NEG_INF, shifted)
         new_row = la_ref[i] + jnp.maximum(row, shifted)
@@ -47,13 +47,20 @@ def _mas_kernel(la_ref, h_init_ref, out_lens_ref, work_ref):
         work_ref[i] = new_row
         return new_row
 
-    jax.lax.fori_loop(1, T, fwd, row0)
+    # manual 4x unroll: the per-row vector work is tiny, so the Mosaic loop
+    # bookkeeping dominates without it; the wrapper pads T so T-1 % 4 == 0
+    def fwd4(k, row):
+        base = 1 + k * 4
+        for j in range(4):
+            row = fwd_one(base + j, row)
+        return row
+
+    jax.lax.fori_loop(0, (T - 1) // 4, fwd4, row0)
 
     # ---- backtrack (overwrites work rows top-down) ----
     out_lens = out_lens_ref[:]  # [B, 1] int32
 
-    def bwd(k, h):
-        i = T - 1 - k  # i from T-1 down to 1
+    def bwd_one(i, h):
         active = (i < out_lens).astype(jnp.float32)  # [B, 1]
         prev = work_ref[i - 1]
         stay = jnp.sum(prev * h, axis=1, keepdims=True)
@@ -65,7 +72,13 @@ def _mas_kernel(la_ref, h_init_ref, out_lens_ref, work_ref):
         dec = (active > 0.5) & (left >= stay) & (at_zero < 0.5)
         return jnp.where(dec, h_left, h)
 
-    h = jax.lax.fori_loop(0, T - 1, bwd, h_init_ref[:])
+    def bwd4(k, h):
+        base = T - 1 - k * 4
+        for j in range(4):
+            h = bwd_one(base - j, h)
+        return h
+
+    h = jax.lax.fori_loop(0, (T - 1) // 4, bwd4, h_init_ref[:])
     work_ref[0] = h * (0 < out_lens).astype(jnp.float32)
 
 
@@ -78,13 +91,21 @@ def mas_width1_pallas(
 ):
     """[B, T, L] hard alignment via the Pallas kernel (pre-masked input)."""
     B, T, L = log_attn.shape
-    la = jnp.swapaxes(log_attn.astype(jnp.float32), 0, 1)  # [T, B, L]
+    # pad T so the kernel's 4x-unrolled loops cover exactly T-1 rows; padded
+    # rows sit beyond every out_len (forward junk, backtrack inactive)
+    T_pad = T + ((-(T - 1)) % 4)
+    la_btl = log_attn.astype(jnp.float32)
+    if T_pad != T:
+        la_btl = jnp.concatenate(
+            [la_btl, jnp.full((B, T_pad - T, L), NEG_INF, jnp.float32)], axis=1
+        )
+    la = jnp.swapaxes(la_btl, 0, 1)  # [T_pad, B, L]
     h_init = jax.nn.one_hot(in_lens - 1, L, dtype=jnp.float32)
     out_lens_col = out_lens.astype(jnp.int32)[:, None]
 
     hard_tbl = pl.pallas_call(
         _mas_kernel,
-        out_shape=jax.ShapeDtypeStruct((T, B, L), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T_pad, B, L), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -96,7 +117,7 @@ def mas_width1_pallas(
         ),
         interpret=interpret,
     )(la, h_init, out_lens_col)
-    return jnp.swapaxes(hard_tbl, 0, 1)  # [B, T, L]
+    return jnp.swapaxes(hard_tbl[:T], 0, 1)  # [B, T, L]
 
 
 def fits_vmem(B: int, T: int, L: int, budget_bytes: int = 10 * 2**20) -> bool:
