@@ -118,17 +118,54 @@ class Preprocessor:
     def process_text(self, item: dict, use_pfs: bool = False):
         """(character_tokens, phone_tokens, pfs) for a filelist item —
         everyvoice Preprocessor.process_text parity (fs2/dataset.py:89-98).
-        Phones come from a 'phones' column when present; there is no bundled
-        g2p, so text without phones trains at the characters level."""
+        Phones come from a 'phones' column when present, else from a
+        configured g2p engine (text.g2p_engines: language -> dotted path of a
+        callable str -> str|list[str]); no g2p is bundled."""
         text = item.get("characters") or item.get("text") or ""
         character_tokens = self.text_processor.process_text(text)
         phone_tokens = None
         if item.get("phones"):
             phone_tokens = self.text_processor.process_text(item["phones"])
+        elif self.config.text.g2p_engines:
+            language = item.get("language") or "default"
+            engine = self._g2p_engine(language)
+            if engine is not None:
+                phones = engine(text)
+                if isinstance(phones, (list, tuple)):
+                    phone_tokens = [
+                        p for p in phones if p in self.text_processor.symbol_to_id
+                    ]
+                else:
+                    phone_tokens = self.text_processor.process_text(str(phones))
         pfs = None
         if use_pfs:
             pfs = get_features_for_tokens(phone_tokens or character_tokens)
         return character_tokens, phone_tokens, pfs
+
+    def _g2p_engine(self, language: str):
+        """Resolve (and cache) a g2p callable from text.g2p_engines."""
+        cache = getattr(self, "_g2p_cache", None)
+        if cache is None:
+            cache = self._g2p_cache = {}
+        if language in cache:
+            return cache[language]
+        dotted = self.config.text.g2p_engines.get(
+            language
+        ) or self.config.text.g2p_engines.get("default")
+        engine = None
+        if dotted:
+            import importlib
+
+            module_name, _, attr = str(dotted).rpartition(".")
+            try:
+                engine = getattr(importlib.import_module(module_name), attr)
+            except Exception as e:
+                raise ValueError(
+                    f"Could not load g2p engine '{dotted}' for language "
+                    f"'{language}': {e}"
+                ) from e
+        cache[language] = engine
+        return engine
 
     def process_utterance(
         self,

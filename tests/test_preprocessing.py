@@ -200,3 +200,33 @@ def test_sox_effects_subset():
 
     trimmed, _ = apply_sox_effects(mono, 22050, [["trim", "0.01"]])
     assert len(trimmed) == 1000 - 220
+
+
+def test_g2p_engine_plugin(tmp_path):
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    cfg = FastSpeech2Config.model_validate(
+        {
+            "preprocessing": {"save_dir": str(tmp_path)},
+            "text": {
+                "symbols": {"letters": list("abcdefghijklmnopqrstuvwxyz")},
+                "g2p_engines": {"default": "g2p_dummy.dummy_g2p"},
+            },
+        }
+    )
+    pre = Preprocessor(cfg)
+    chars, phones, pfs = pre.process_text(
+        {"characters": "ab cd", "language": "default"}, use_pfs=True
+    )
+    assert phones == ["a", "b", " ", "c", "d"]
+    assert pfs.shape[0] == len(phones)
+
+    bad = FastSpeech2Config.model_validate(
+        {
+            "preprocessing": {"save_dir": str(tmp_path)},
+            "text": {"g2p_engines": {"default": "nonexistent.module.fn"}},
+        }
+    )
+    with pytest.raises(ValueError, match="g2p engine"):
+        Preprocessor(bad).process_text({"characters": "x", "language": "default"})
