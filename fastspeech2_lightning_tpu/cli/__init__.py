@@ -298,14 +298,18 @@ def benchmark(
               help="Score utterances by model loss using this checkpoint.")
 @click.option("--output-dir", "-o", type=click.Path(path_type=Path),
               default=Path("checked_data"))
+@click.option("--objective-evaluation/--no-objective-evaluation", default=False,
+              help="SQUIM STOI/PESQ/SI-SDR metrics (requires torchaudio).")
 @_config_args_option
-def check_data(config_file: Path, filelist, calculate_stats, model_path, output_dir, config_args):
+def check_data(config_file: Path, filelist, calculate_stats, model_path,
+               output_dir, objective_evaluation, config_args):
     from ..config import load_config_base_command
     from ..cli.check_data import check_data_command
 
     config = load_config_base_command(config_file, list(config_args))
     check_data_command(
-        config, filelist, calculate_stats, model_path, Path(output_dir)
+        config, filelist, calculate_stats, model_path, Path(output_dir),
+        objective_evaluation=objective_evaluation,
     )
 
 

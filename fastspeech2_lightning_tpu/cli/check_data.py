@@ -22,10 +22,31 @@ from ..preprocessing.pipeline import Preprocessor, SEP
 from ..utils import load_filelist
 
 
+def squim_objective_metrics(audio: np.ndarray, sr: int) -> Optional[dict]:
+    """STOI/PESQ/SI-SDR via torchaudio SQUIM (check_data_heavy.py:46-55).
+    Returns None when torchaudio is unavailable (not in this image)."""
+    try:
+        import torch
+        import torchaudio
+    except ImportError:
+        return None
+    model = torchaudio.pipelines.SQUIM_OBJECTIVE.get_model()
+    wav = torch.tensor(audio)[None]
+    if sr != 16000:
+        wav = torchaudio.functional.resample(wav, sr, 16000)
+    stoi, pesq, si_sdr = model(wav)
+    return {
+        "stoi": float(stoi[0]),
+        "pesq": float(pesq[0]),
+        "si_sdr": float(si_sdr[0]),
+    }
+
+
 def check_datapoint(
     item: dict,
     preprocessor: Preprocessor,
     word_seg_token: str = " ",
+    objective_evaluation: bool = False,
 ) -> dict:
     data_point = dict(item)
     characters = item.get("characters") or item.get("text")
@@ -55,6 +76,17 @@ def check_datapoint(
         f"audio-{a.input_sampling_rate}.wav",
     )
     audio = preprocessing.pipeline.load_wav(audio_path, a.input_sampling_rate)
+
+    if objective_evaluation:
+        metrics = squim_objective_metrics(audio, a.input_sampling_rate)
+        if metrics is None:
+            print(
+                "objective evaluation requested but torchaudio is not "
+                "installed; skipping SQUIM metrics.",
+                file=sys.stderr,
+            )
+        else:
+            data_point.update(metrics)
 
     # cheap clipping detection (check_data_heavy.py:64-72)
     audio_max, audio_min = audio.max(), audio.min()
@@ -92,9 +124,15 @@ def check_datapoint(
 
 
 def check_data_from_filelist(
-    preprocessor: Preprocessor, filelist: List[dict], word_seg_token: str = " "
+    preprocessor: Preprocessor,
+    filelist: List[dict],
+    word_seg_token: str = " ",
+    objective_evaluation: bool = False,
 ) -> List[dict]:
-    return [check_datapoint(item, preprocessor, word_seg_token) for item in filelist]
+    return [
+        check_datapoint(item, preprocessor, word_seg_token, objective_evaluation)
+        for item in filelist
+    ]
 
 
 def add_coverage_scores(data: List[dict], preprocessor: Preprocessor) -> None:
@@ -134,6 +172,7 @@ def check_data_command(
     calculate_stats: bool,
     model_path: Optional[Path],
     output_dir: Path,
+    objective_evaluation: bool = False,
 ) -> None:
     preprocessor = Preprocessor(config)
     output_dir.mkdir(exist_ok=True, parents=True)
@@ -146,7 +185,9 @@ def check_data_command(
         combined = load_filelist(filelist)
 
     if calculate_stats:
-        stats = check_data_from_filelist(preprocessor, combined)
+        stats = check_data_from_filelist(
+            preprocessor, combined, objective_evaluation=objective_evaluation
+        )
         if not stats:
             print("Sorry, the data is empty so there is nothing to check.")
             sys.exit(1)
