@@ -41,14 +41,23 @@ _config_args_option = click.option(
     help="Subset of preprocessing steps (default: all).",
 )
 @click.option("--cpus", type=int, default=None, help="Worker processes.")
+@click.option(
+    "--on-device-spec/--host-spec",
+    default=False,
+    help="Compute mel+energy as fused batched ops on the accelerator.",
+)
 @_config_args_option
-def preprocess(config_file: Path, steps, cpus, config_args):
+def preprocess(config_file: Path, steps, cpus, on_device_spec, config_args):
     from ..config import load_config_base_command
     from ..preprocessing import Preprocessor
 
     config = load_config_base_command(config_file, list(config_args))
     pre = Preprocessor(config)
-    result = pre.run(steps=steps or ("audio", "spec", "attn", "text", "pitch", "energy"), cpus=cpus)
+    result = pre.run(
+        steps=steps or ("audio", "spec", "attn", "text", "pitch", "energy"),
+        cpus=cpus,
+        on_device_spec=on_device_spec,
+    )
     click.echo(
         f"Preprocessed {result['n_train']} training + {result['n_val']} "
         f"validation utterances -> {config.preprocessing.save_dir}"

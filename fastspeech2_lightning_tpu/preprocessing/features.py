@@ -175,3 +175,41 @@ def mel_spectrogram_jax(
     fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels, f_min, f_max, htk))
     mel = jnp.einsum("mf,btf->bmt", fb, mag.astype(jnp.float32))
     return jnp.log(jnp.clip(mel, LOG_CLIP, None))
+
+
+def batched_mel_energy_jax(
+    audio: "jnp.ndarray",
+    sr: int,
+    n_fft: int,
+    hop: int,
+    win_length: int,
+    n_mels: int,
+    f_min: float,
+    f_max: float,
+    htk: bool = False,
+):
+    """Fused batched spectral features: ONE STFT feeds both the log-mel
+    ([B, n_mels, T]) and the frame energy ([B, T] = L2 norm over bins).
+
+    This is the on-device preprocessing path (BASELINE.json: "the
+    preprocessing stage becomes fused XLA ops over batched audio") — the
+    reference computes the STFT twice per utterance on CPU (mel + energy)."""
+    import jax.numpy as jnp
+
+    pad = n_fft // 2
+    x = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = 1 + (x.shape[1] - n_fft) // hop
+    starts = jnp.arange(n_frames) * hop
+    idx = starts[:, None] + jnp.arange(n_fft)[None, :]
+    frames = x[:, idx]
+    window = jnp.asarray(_hann(win_length), dtype=x.dtype)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
+    mag = jnp.abs(
+        jnp.fft.rfft(frames * window[None, None, :], n=n_fft, axis=-1)
+    ).astype(jnp.float32)
+    fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels, f_min, f_max, htk))
+    mel = jnp.log(jnp.clip(jnp.einsum("mf,btf->bmt", fb, mag), LOG_CLIP, None))
+    energy = jnp.sqrt(jnp.sum(mag * mag, axis=-1))
+    return mel, energy

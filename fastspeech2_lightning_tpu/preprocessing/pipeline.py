@@ -173,6 +173,7 @@ class Preprocessor:
         data_dir: Path,
         steps: Iterable[str] = ALL_STEPS,
         sox_effects: Optional[list] = None,
+        defer_spectral: bool = False,
     ) -> Optional[dict]:
         """Extract and save artifacts for one utterance; returns the enriched
         filelist row (with token strings) or None if filtered out."""
@@ -206,13 +207,12 @@ class Preprocessor:
             )
             save_wav(out, audio, a.input_sampling_rate)
 
-        mel = None
-        if "spec" in steps or "attn" in steps:
+        n_frames = 1 + len(audio) // a.fft_hop_size
+        if "spec" in steps and not defer_spectral:
             mel = mel_spectrogram_numpy(
                 audio, a.input_sampling_rate, a.n_fft, a.fft_hop_size,
                 a.fft_window_size, a.n_mels, a.f_min, a.f_max, a.spec_type,
             )  # [n_mels, T]
-        if "spec" in steps:
             out = self.artifact_path("spec", basename, speaker, language, self.spec_filename())
             out.parent.mkdir(parents=True, exist_ok=True)
             np.save(out, mel)
@@ -229,8 +229,8 @@ class Preprocessor:
                 pfs_out.parent.mkdir(parents=True, exist_ok=True)
                 np.save(pfs_out, pfs)
 
-        if "attn" in steps and mel is not None:
-            T = mel.shape[1]
+        if "attn" in steps:
+            T = n_frames
             for rep, tokens in (
                 ("characters", character_tokens),
                 ("phones", phone_tokens),
@@ -244,7 +244,6 @@ class Preprocessor:
                 out.parent.mkdir(parents=True, exist_ok=True)
                 np.save(out, prior)
 
-        n_frames = 1 + len(audio) // a.fft_hop_size
         pitch = energy = None
         if "pitch" in steps:
             # native C++ YIN when the toolchain is available; NumPy golden otherwise
@@ -261,7 +260,7 @@ class Preprocessor:
             out = self.artifact_path("pitch", basename, speaker, language, "pitch.npy")
             out.parent.mkdir(parents=True, exist_ok=True)
             np.save(out, pitch)
-        if "energy" in steps:
+        if "energy" in steps and not defer_spectral:
             energy = frame_energy_numpy(
                 audio, a.n_fft, a.fft_hop_size, a.fft_window_size
             )
@@ -285,9 +284,15 @@ class Preprocessor:
         steps: Iterable[str] = ALL_STEPS,
         cpus: Optional[int] = None,
         compute_stats: bool = True,
+        on_device_spec: bool = False,
     ) -> dict:
-        """Process every source filelist; write split filelists + stats.json."""
+        """Process every source filelist; write split filelists + stats.json.
+
+        on_device_spec=True computes mel + energy for the whole corpus as
+        batched fused ops on the accelerator (features.batched_mel_energy_jax)
+        instead of per-utterance on the host."""
         all_rows: List[dict] = []
+        device_queue: List[tuple] = []  # (row, data_dir, sox_effects)
         for source in self.config.preprocessing.source_data:
             items = load_filelist(source.filelist)
             worker = functools.partial(
@@ -296,6 +301,7 @@ class Preprocessor:
                 data_dir=Path(source.data_dir),
                 steps=tuple(steps),
                 sox_effects=list(source.sox_effects or []),
+                defer_spectral=on_device_spec,
             )
             n_workers = cpus or self.config.preprocessing.cpus or 1
             if n_workers > 1:
@@ -303,7 +309,15 @@ class Preprocessor:
                     rows = pool.map(worker, items)
             else:
                 rows = [worker(it) for it in items]
-            all_rows.extend(r for r in rows if r is not None)
+            for r in rows:
+                if r is not None:
+                    all_rows.append(r)
+                    device_queue.append(
+                        (r, Path(source.data_dir), list(source.sox_effects or []))
+                    )
+
+        if on_device_spec and ({"spec", "energy"} & set(steps)):
+            self._device_spectral_pass(device_queue, set(steps))
 
         # deterministic split (fs2 preprocessing: train_split + seed)
         rng = np.random.default_rng(self.config.preprocessing.dataset_split_seed)
@@ -320,6 +334,73 @@ class Preprocessor:
             save_stats(stats, self.save_dir / "stats.json")
             result["stats"] = stats
         return result
+
+    def _device_spectral_pass(self, queue: List[tuple], steps: set) -> None:
+        """Batched mel+energy on the accelerator: bucket utterances by sample
+        length (multiples of 64 hops), pad, run the fused jitted extractor per
+        bucket shape, crop, save."""
+        import jax
+        import jax.numpy as jnp
+
+        from .features import batched_mel_energy_jax
+
+        a = self.audio_cfg
+        bucket_samples = a.fft_hop_size * 64
+        jitted = jax.jit(
+            functools.partial(
+                batched_mel_energy_jax,
+                sr=a.input_sampling_rate,
+                n_fft=a.n_fft,
+                hop=a.fft_hop_size,
+                win_length=a.fft_window_size,
+                n_mels=a.n_mels,
+                f_min=a.f_min,
+                f_max=a.f_max,
+                htk=a.spec_type == "mel",
+            ),
+            static_argnames=(),
+        )
+
+        pad = a.n_fft // 2
+        buckets: dict = {}
+        for row, data_dir, effects in queue:
+            audio = load_wav(
+                data_dir / f"{row['basename']}.wav", a.input_sampling_rate
+            )
+            if effects:
+                audio, _ = apply_sox_effects(audio, a.input_sampling_rate, effects)
+            # room for the tail reflection so batching reproduces the host
+            # path's per-utterance reflect padding exactly
+            padded_len = -(-(len(audio) + pad) // bucket_samples) * bucket_samples
+            buckets.setdefault(padded_len, []).append((row, audio))
+
+        BATCH = 16
+        for padded_len, entries in buckets.items():
+            for start in range(0, len(entries), BATCH):
+                chunk = entries[start : start + BATCH]
+                batch = np.zeros((len(chunk), padded_len), dtype=np.float32)
+                for i, (_, audio) in enumerate(chunk):
+                    n = len(audio)
+                    batch[i, :n] = audio
+                    ext = min(padded_len - n, n - 1)
+                    if ext > 0:
+                        batch[i, n : n + ext] = audio[-2 : -ext - 2 : -1]
+                mel, energy = jitted(jnp.asarray(batch))
+                mel = np.asarray(mel)
+                energy = np.asarray(energy)
+                for i, (row, audio) in enumerate(chunk):
+                    n_frames = 1 + len(audio) // a.fft_hop_size
+                    b, s, l = row["basename"], row["speaker"], row["language"]
+                    if "spec" in steps:
+                        out = self.artifact_path(
+                            "spec", b, s, l, self.spec_filename()
+                        )
+                        out.parent.mkdir(parents=True, exist_ok=True)
+                        np.save(out, mel[i, :, :n_frames])
+                    if "energy" in steps:
+                        out = self.artifact_path("energy", b, s, l, "energy.npy")
+                        out.parent.mkdir(parents=True, exist_ok=True)
+                        np.save(out, energy[i, :n_frames])
 
     def compute_stats(self, rows: List[dict], normalize: bool = True) -> Stats:
         """Pitch/energy scalers (+ in-place z-normalization of the saved
@@ -357,7 +438,14 @@ class Preprocessor:
 
 
 def _process_one(
-    item: dict, config: FastSpeech2Config, data_dir: Path, steps, sox_effects=None
+    item: dict,
+    config: FastSpeech2Config,
+    data_dir: Path,
+    steps,
+    sox_effects=None,
+    defer_spectral: bool = False,
 ):
     """Top-level worker for multiprocessing pickling."""
-    return Preprocessor(config).process_utterance(item, data_dir, steps, sox_effects)
+    return Preprocessor(config).process_utterance(
+        item, data_dir, steps, sox_effects, defer_spectral
+    )

@@ -230,3 +230,27 @@ def test_g2p_engine_plugin(tmp_path):
     )
     with pytest.raises(ValueError, match="g2p engine"):
         Preprocessor(bad).process_text({"characters": "x", "language": "default"})
+
+
+def test_on_device_spec_matches_host(corpus: FastSpeech2Config, tmp_path):
+    """Batched accelerator mel+energy == per-utterance host artifacts."""
+    import copy
+
+    host_cfg = corpus
+    Preprocessor(host_cfg).run(cpus=1, compute_stats=False)
+    host_dir = Path(host_cfg.preprocessing.save_dir)
+
+    dev_cfg = copy.deepcopy(host_cfg)
+    dev_cfg.preprocessing.save_dir = tmp_path / "device_pre"
+    Preprocessor(dev_cfg).run(cpus=1, compute_stats=False, on_device_spec=True)
+    dev_dir = Path(dev_cfg.preprocessing.save_dir)
+
+    for kind, atol in (("spec", 2e-2), ("energy", 1e-1)):
+        host_files = sorted((host_dir / kind).glob("*.npy"))
+        assert host_files
+        for hf in host_files:
+            df = dev_dir / kind / hf.name
+            assert df.exists(), df
+            a, b = np.load(hf), np.load(df)
+            assert a.shape == b.shape
+            np.testing.assert_allclose(b, a, atol=atol)
