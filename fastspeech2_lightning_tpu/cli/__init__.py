@@ -173,6 +173,11 @@ def synthesize(
             apply_overrides(config.model_checkpoint_dump(), list(config_args))
         )
 
+    if teacher_forcing_directory is not None:
+        # target specs/variances come from this preprocessed directory
+        # (fs2 synthesize --teacher-forcing-directory semantics)
+        config.preprocessing.save_dir = Path(teacher_forcing_directory)
+
     vocoder = None
     vocoder_global_step = 0
     output_hop = None

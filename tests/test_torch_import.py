@@ -251,3 +251,87 @@ def test_missing_key_raises_clearly():
     del sd["mel_linear.weight"]
     with pytest.raises(TorchImportError, match="mel_linear.weight"):
         import_torch_fastspeech2(sd, cfg)
+
+
+def test_conformer_layer_matches_torch_reference_math():
+    """Port weights from a torch conformer layer (torchaudio structure:
+    half-step FFNs, MHA, conv module with BN, final LN) through the importer
+    mapping and check our flax layer reproduces its eval-mode outputs."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+    import torch.nn.functional as F
+    import jax.numpy as jnp
+
+    from fastspeech2_lightning_tpu.models.conformer import ConformerLayer
+    from fastspeech2_lightning_tpu.models.torch_import import _conformer_layer
+
+    torch.manual_seed(0)
+    d, ffn, heads, k, B, T = 16, 32, 2, 5, 2, 12
+
+    class TorchFFN(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.sequential = tnn.Sequential(
+                tnn.LayerNorm(d), tnn.Linear(d, ffn), tnn.SiLU(),
+                tnn.Dropout(0.0), tnn.Linear(ffn, d), tnn.Dropout(0.0),
+            )
+
+        def forward(self, x):
+            return self.sequential(x)
+
+    class TorchConv(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.layer_norm = tnn.LayerNorm(d)
+            self.sequential = tnn.Sequential(
+                tnn.Conv1d(d, 2 * d, 1), tnn.GLU(dim=1),
+                tnn.Conv1d(d, d, k, padding=k // 2, groups=d),
+                tnn.BatchNorm1d(d), tnn.SiLU(), tnn.Conv1d(d, d, 1),
+                tnn.Dropout(0.0),
+            )
+
+        def forward(self, x):
+            x = self.layer_norm(x).transpose(1, 2)
+            return self.sequential(x).transpose(1, 2)
+
+    class TorchLayer(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ffn1 = TorchFFN()
+            self.self_attn_layer_norm = tnn.LayerNorm(d)
+            self.self_attn = tnn.MultiheadAttention(d, heads, batch_first=True)
+            self.conv_module = TorchConv()
+            self.ffn2 = TorchFFN()
+            self.final_layer_norm = tnn.LayerNorm(d)
+
+        def forward(self, x):
+            x = x + 0.5 * self.ffn1(x)
+            a = self.self_attn_layer_norm(x)
+            x = x + self.self_attn(a, a, a, need_weights=False)[0]
+            x = x + self.conv_module(x)
+            x = x + 0.5 * self.ffn2(x)
+            return self.final_layer_norm(x)
+
+    layer = TorchLayer().eval()
+    # randomize BN running stats so the test catches stat-mapping bugs
+    bn = layer.conv_module.sequential[3]
+    with torch.no_grad():
+        bn.running_mean.copy_(torch.randn(d) * 0.1)
+        bn.running_var.copy_(torch.rand(d) + 0.5)
+
+    x = torch.randn(B, T, d)
+    with torch.no_grad():
+        ref = layer(x).numpy()
+
+    sd = {f"p.{k_}": v.detach().numpy() for k_, v in layer.state_dict().items()}
+    params, stats = _conformer_layer(sd, "p")
+
+    ours_layer = ConformerLayer(
+        num_heads=heads, ffn_dim=ffn, conv_kernel_size=k, dropout=0.0
+    )
+    mask = jnp.ones((B, T), dtype=bool)
+    ours = ours_layer.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.array(x.numpy()), mask, True,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=2e-5)

@@ -81,3 +81,71 @@ def test_grad_norm_reported_and_clipped():
         for a, b in zip(params_before, params_after)
     )
     assert max_delta < 1e-4
+
+
+def test_early_stopping_halts_training(tmp_path):
+    """Early stopping (implements the reference's config TODO) stops fit()
+    when validation loss stalls."""
+    import yaml
+
+    from click.testing import CliRunner
+
+    from fastspeech2_lightning_tpu.cli import app
+    from fastspeech2_lightning_tpu.preprocessing.pipeline import save_wav
+    from fastspeech2_lightning_tpu.utils import write_filelist
+
+    SR = 22050
+    wav_dir = tmp_path / "wavs"
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(4):
+        t = np.arange(int(0.5 * SR)) / SR
+        save_wav(
+            wav_dir / f"utt{i}.wav",
+            (0.4 * np.sin(2 * np.pi * (150 + 30 * i) * t)).astype(np.float32),
+            SR,
+        )
+        rows.append({"basename": f"utt{i}", "characters": "ab cd",
+                     "language": "default", "speaker": "default"})
+    write_filelist(rows, tmp_path / "filelist.psv")
+    config = {
+        "model": {
+            "encoder": {"layers": 1, "heads": 2, "input_dim": 32,
+                        "feedforward_dim": 64, "conv_kernel_size": 3},
+            "decoder": {"layers": 1, "heads": 2, "input_dim": 32,
+                        "feedforward_dim": 64, "conv_kernel_size": 3},
+            "variance_predictors": {
+                "energy": {"input_dim": 32, "n_layers": 1, "n_bins": 16},
+                "pitch": {"input_dim": 32, "n_layers": 1, "n_bins": 16},
+                "duration": {"input_dim": 32, "n_layers": 1, "n_bins": 16}},
+            "max_mel_length": 64, "use_postnet": False},
+        "preprocessing": {"save_dir": str(tmp_path / "pre"), "train_split": 0.75,
+            "audio": {"n_mels": 20},
+            "source_data": [{"data_dir": str(wav_dir),
+                             "filelist": str(tmp_path / "filelist.psv")}]},
+        "text": {"symbols": {"letters": list("abcd")}},
+        "training": {"batch_size": 2, "bucket_count": 1,
+            "training_filelist": str(tmp_path / "pre" / "training_filelist.psv"),
+            "validation_filelist": str(tmp_path / "pre" / "validation_filelist.psv"),
+            "logger": {"save_dir": str(tmp_path / "logs")},
+            "val_check_interval": 1,
+            # lr 0 => validation loss can never improve => stop after patience
+            "optimizer": {"warmup_steps": 5, "learning_rate": 0.0},
+            "early_stopping": {"metric": "mae", "patience": 2}},
+    }
+    (tmp_path / "config.yaml").write_text(yaml.safe_dump(config))
+    runner = CliRunner()
+    assert runner.invoke(
+        app, ["preprocess", str(tmp_path / "config.yaml"), "--cpus", "1"]
+    ).exit_code == 0
+
+    from fastspeech2_lightning_tpu.config import FastSpeech2Config
+    from fastspeech2_lightning_tpu.training.loop import Trainer
+
+    cfg = FastSpeech2Config.load_config_from_path(tmp_path / "config.yaml")
+    trainer = Trainer(cfg)
+    state = trainer.fit(max_steps=50)
+    # params are frozen (lr=0) so the monitored loss stalls — only the
+    # batch-norm running statistics drift it briefly — and training must
+    # stop well before max_steps
+    assert int(state.step) < 40
