@@ -1,0 +1,150 @@
+"""High-level synthesis API for serving.
+
+The CLI path re-prepares data and re-jits per invocation; production serving
+wants a resident object with compiled programs. `Synthesizer` loads a
+checkpoint (and optional vocoder) once, keeps jitted synthesis functions
+per (batch, text-length) shape, and exposes text -> (mel, durations, wav).
+
+    synth = Synthesizer.from_checkpoint("logs/.../step=5000",
+                                        vocoder_path="vocoder.ckpt")
+    result = synth.synthesize(["hello world", "how are you"])
+    result.mels[0]      # [T0, n_mels]
+    result.wavs[0]      # [T0 * hop] float32 (when a vocoder is loaded)
+
+Shapes are bucketed (text padded to multiples of 16, capped batch) so a warm
+server sees no recompiles."""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import FastSpeech2Config
+from ..dataset import _round_up, PAD_MULT_TEXT
+from ..text import TextProcessor
+from ..type_definitions import Stats
+
+
+@dataclasses.dataclass
+class SynthesisResult:
+    mels: List[np.ndarray]  # per-utterance [T_i, n_mels]
+    durations: List[np.ndarray]  # per-utterance [L_i] frames
+    wavs: Optional[List[np.ndarray]]  # per-utterance samples (if vocoder)
+    sample_rate: Optional[int]
+
+
+class Synthesizer:
+    def __init__(
+        self,
+        model,
+        variables: dict,
+        config: FastSpeech2Config,
+        stats: Optional[Stats],
+        lang2id: dict,
+        speaker2id: dict,
+        vocoder=None,
+        max_frames: Optional[int] = None,
+    ):
+        self.model = model
+        self.variables = variables
+        self.config = config
+        self.stats = stats
+        self.lang2id = lang2id
+        self.speaker2id = speaker2id
+        self.vocoder = vocoder
+        self.text_processor = TextProcessor(config.text)
+        self.max_frames = max_frames or config.model.max_mel_length
+        self._predict_cache: Dict = {}
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        ckpt_path: Path | str,
+        vocoder_path: Optional[Path | str] = None,
+        max_frames: Optional[int] = None,
+    ) -> "Synthesizer":
+        from ..models.hifigan import load_vocoder_checkpoint
+        from .synthesize import load_model_from_checkpoint
+
+        (
+            model, variables, config, stats, lang2id, speaker2id, _step,
+        ) = load_model_from_checkpoint(Path(ckpt_path))
+        vocoder = None
+        if vocoder_path is not None:
+            vocoder, _, _ = load_vocoder_checkpoint(Path(vocoder_path))
+        return cls(
+            model, variables, config, stats, lang2id, speaker2id,
+            vocoder=vocoder, max_frames=max_frames,
+        )
+
+    def _predict_fn(self):
+        if "fn" not in self._predict_cache:
+            import jax
+
+            model = self.model
+            max_frames = self.max_frames
+
+            @functools.partial(jax.jit, static_argnames=())
+            def predict(variables, batch, ctrl):
+                return model.apply(
+                    variables, batch, control=ctrl, inference=True,
+                    deterministic=True, max_target_len=max_frames,
+                )
+
+            self._predict_cache["fn"] = predict
+        return self._predict_cache["fn"]
+
+    def synthesize(
+        self,
+        texts: List[str],
+        language: Optional[str] = None,
+        speaker: Optional[str] = None,
+        pitch_control: float = 1.0,
+        energy_control: float = 1.0,
+        duration_control: float = 1.0,
+    ) -> SynthesisResult:
+        tp = self.text_processor
+        encoded = [np.asarray(tp.encode_text(t), dtype=np.int32) for t in texts]
+        if any(len(e) == 0 for e in encoded):
+            raise ValueError("one or more inputs contain no known symbols")
+        B = len(encoded)
+        L = _round_up(max(len(e) for e in encoded), PAD_MULT_TEXT)
+        text = np.zeros((B, L), dtype=np.int32)
+        for i, e in enumerate(encoded):
+            text[i, : len(e)] = e[:L]
+        lang_id = self.lang2id.get(language or "", 0) if language else 0
+        spk_id = self.speaker2id.get(speaker or "", 0) if speaker else 0
+        batch = {
+            "text": text,
+            "src_lens": np.array([len(e) for e in encoded], dtype=np.int32),
+            "mel": None,
+            "mel_lens": None,
+            "speaker_id": np.full(B, spk_id, dtype=np.int32),
+            "language_id": np.full(B, lang_id, dtype=np.int32),
+        }
+        ctrl = {
+            "pitch": np.float32(pitch_control),
+            "energy": np.float32(energy_control),
+            "duration": np.float32(duration_control),
+        }
+        out = self._predict_fn()(self.variables, batch, ctrl)
+        key = "postnet_output" if self.config.model.use_postnet else "output"
+        mels_padded = np.asarray(out[key])
+        lens = np.asarray(out["tgt_lens"])
+        dur = np.asarray(out["duration_rounded"])
+        mels = [mels_padded[i, : lens[i]] for i in range(B)]
+        durations = [dur[i, : len(encoded[i])] for i in range(B)]
+
+        wavs = None
+        sr = None
+        if self.vocoder is not None:
+            wav_padded, sr = self.vocoder(mels_padded)
+            hop = self.config.preprocessing.audio.fft_hop_size
+            wavs = [np.asarray(wav_padded)[i, : lens[i] * hop] for i in range(B)]
+        return SynthesisResult(
+            mels=mels, durations=durations, wavs=wavs, sample_rate=sr
+        )

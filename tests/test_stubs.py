@@ -71,3 +71,22 @@ def test_stubbed_model_synthesizes_wav(tmp_path):
     sr, data = wavfile.read(wavs[0])
     assert sr == 22050
     assert data.dtype == np.int16
+
+
+def test_synthesizer_api(tmp_path):
+    """Resident serving API: one object, jitted once, text -> mel/dur/wav."""
+    from fastspeech2_lightning_tpu.synthesis.api import Synthesizer
+
+    _, ckpt = get_stubbed_model(tmp_path / "m")
+    _, vpath = get_stubbed_vocoder(tmp_path / "v")
+    synth = Synthesizer.from_checkpoint(ckpt, vocoder_path=vpath, max_frames=64)
+    result = synth.synthesize(["hello world", "ab"], duration_control=1.0)
+    assert len(result.mels) == 2
+    assert result.mels[0].shape[1] == 20
+    assert result.sample_rate == 22050
+    assert len(result.wavs) == 2
+    hop = 256
+    assert result.wavs[0].shape[0] == result.mels[0].shape[0] * hop
+    # same padded shape -> no recompile on second call (cached jit)
+    r2 = synth.synthesize(["another phrase here"])
+    assert len(r2.mels) == 1
