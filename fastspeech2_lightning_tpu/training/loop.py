@@ -299,6 +299,34 @@ class Trainer:
                 f"pred/spec_{batch['basename'][0]}", fig, step
             )
 
+        if step == 0:
+            # ground-truth audio (+ vocoder copy-synthesis) once at step 0
+            # (fs2/model.py:392-437)
+            try:
+                from ..preprocessing.pipeline import SEP, load_wav
+
+                a = self.config.preprocessing.audio
+                audio_path = (
+                    Path(self.config.preprocessing.save_dir)
+                    / "audio"
+                    / SEP.join(
+                        [
+                            batch["basename"][0],
+                            batch["speaker"][0],
+                            batch["language"][0],
+                            f"audio-{a.input_sampling_rate}.wav",
+                        ]
+                    )
+                )
+                if audio_path.exists():
+                    gt = load_wav(audio_path, a.output_sampling_rate)
+                    self.writer.add_audio(
+                        f"gt/wav_{batch['basename'][0]}", gt, step,
+                        a.output_sampling_rate,
+                    )
+            except Exception as e:
+                print(f"gt audio logging failed: {e}")
+
         if self.config.training.vocoder_path:
             try:
                 from ..models.hifigan import load_vocoder_checkpoint
@@ -313,5 +341,11 @@ class Trainer:
                 self.writer.add_audio(
                     f"pred/wav_{batch['basename'][0]}", wav[0], step, sr
                 )
+                if step == 0:
+                    cs, sr2 = vocoder(host(batch["mel"])[:1])
+                    self.writer.add_audio(
+                        f"copy-synthesis/wav_{batch['basename'][0]}",
+                        cs[0], step, sr2,
+                    )
             except Exception as e:
                 print(f"vocoder audio logging failed: {e}")
