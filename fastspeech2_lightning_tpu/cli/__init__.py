@@ -8,7 +8,6 @@ in the image); invoke as `python -m fastspeech2_lightning_tpu <cmd>`."""
 
 from __future__ import annotations
 
-import sys
 from pathlib import Path
 
 import click

@@ -18,7 +18,7 @@ from typing import List, Optional
 import numpy as np
 
 from ..config import FastSpeech2Config
-from ..preprocessing.pipeline import Preprocessor, SEP
+from ..preprocessing.pipeline import Preprocessor
 from ..utils import load_filelist
 
 

@@ -20,7 +20,6 @@ from ..config import (
     FastSpeech2Config,
     TargetTrainingTextRepresentationLevel,
 )
-from ..text.features import N_PHONOLOGICAL_FEATURES
 from ..type_definitions import Stats
 from ..ops.masking import mask_from_lens
 from .conformer import Conformer

@@ -14,7 +14,7 @@ ConvTranspose1d(k, stride=u, padding=(k-u)//2) output length T*u exactly."""
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

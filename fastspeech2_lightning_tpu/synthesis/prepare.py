@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import sys
 from pathlib import Path
-from typing import Any, List, Optional, Sequence
+from typing import List, Optional
 
 from ..config import DatasetTextRepresentation
 from ..text.textsplit import chunk_text

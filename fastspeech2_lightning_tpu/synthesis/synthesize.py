@@ -4,9 +4,8 @@ writer callbacks, with teacher forcing and scoring modes."""
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional
 
 import jax
 import numpy as np
@@ -15,11 +14,9 @@ from ..config import FastSpeech2Config
 from ..dataset import FastSpeechDataset, collate
 from ..models import FastSpeech2
 from ..text import TextProcessor
-from ..training.checkpoint import get_global_step, load_checkpoint
+from ..training.checkpoint import load_checkpoint
 from ..training.loss import compute_loss
-from ..training.state import TrainState, create_train_state, make_optimizer
-from ..type_definitions import Stats, SynthesizeOutputFormats
-from .writers import get_synthesis_output_writers
+from ..type_definitions import Stats
 
 
 def load_model_from_checkpoint(ckpt_path: Path):
