@@ -148,3 +148,29 @@ class Synthesizer:
         return SynthesisResult(
             mels=mels, durations=durations, wavs=wavs, sample_rate=sr
         )
+
+    def synthesize_long(self, text: str, **kwargs) -> SynthesisResult:
+        """Long-form synthesis: chunk at the corpus-informed boundaries
+        (fs2 chunking semantics), synthesize the chunks as one batch, and
+        reassemble a single utterance."""
+        from ..config import DatasetTextRepresentation
+        from ..text.textsplit import chunk_text
+        from .prepare import get_text_split_params
+
+        desired, maxi, strong, weak = get_text_split_params(
+            self.stats, DatasetTextRepresentation.characters, self.config,
+            kwargs.get("language"),
+        )
+        chunks = (
+            chunk_text(text, desired, maxi, strong, weak)
+            if self.config.text.split_text
+            else [text]
+        )
+        result = self.synthesize(chunks, **kwargs)
+        mel = np.concatenate(result.mels, axis=0)
+        durations = np.concatenate(result.durations)
+        wavs = [np.concatenate(result.wavs)] if result.wavs is not None else None
+        return SynthesisResult(
+            mels=[mel], durations=[durations], wavs=wavs,
+            sample_rate=result.sample_rate,
+        )

