@@ -274,30 +274,42 @@ def benchmark(
     )
     inference = benchmark_type == "inference"
 
-    def fn(variables, batch):
+    def apply_fn(variables, batch):
         return model.apply(
             variables, batch, inference=inference, deterministic=True,
             max_target_len=config.model.max_mel_length if inference else None,
         )["output"]
 
-    jf = jax.jit(fn)
-    for _ in range(warmup_reps):
-        out = jf(variables, device_batch)
-    jax.block_until_ready(out)
+    from ..utils.benchmarking import (
+        chainable,
+        check_mfu,
+        compiled_flops,
+        time_chained,
+    )
+
+    carry_key = "pitch" if "pitch" in device_batch else "mel"
+    jf = jax.jit(chainable(apply_fn, carry_key))
+    staged = [{k: jax.device_put(v) for k, v in device_batch.items()}]
+    variables = jax.device_put(variables)
+    import jax.numpy as jnp
+
+    flops = compiled_flops(jf, variables, staged[0], jnp.float32(0.0))
     if profile_dir is not None:
         jax.profiler.start_trace(str(profile_dir))
-    timings = np.zeros(repetitions)
-    for rep in range(repetitions):
-        t0 = time.perf_counter()
-        jf(variables, device_batch).block_until_ready()
-        timings[rep] = (time.perf_counter() - t0) * 1000
+    trials = time_chained(
+        jf, variables, staged, reps=repetitions, trials=5, warmup=warmup_reps
+    )
     if profile_dir is not None:
         jax.profiler.stop_trace()
         click.echo(f"Wrote profiler trace to {profile_dir}")
+    per_call_ms = np.asarray(trials) / repetitions * 1000
+    mfu = check_mfu(flops, float(per_call_ms.min()) / 1000)
     click.echo(
         f"Average forward pass for {benchmark_type} duration after "
-        f"{repetitions} repetitions: {timings.mean()} ms "
-        f"Standard Deviation: {timings.std()}"
+        f"{repetitions} repetitions: {per_call_ms.mean():.3f} ms "
+        f"Standard Deviation: {per_call_ms.std():.3f} "
+        f"(best {per_call_ms.min():.3f} ms, {flops / 1e12:.3f} TFLOP/call, "
+        f"MFU {mfu * 100:.1f}%; forced-completion chained timing)"
     )
 
 

@@ -1,0 +1,114 @@
+"""Honest (forced-completion) re-measurement of the numbers quoted in docs.
+
+Measures on the default device with the chained-carry discipline from
+utils.benchmarking: train step, MAS binarization, CTC forward-sum gradient.
+Prints one JSON object. Run serially on an otherwise idle chip.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _chain_time(step, init_carry, reps=20, trials=5):
+    """step(carry) -> carry must be jitted; returns best seconds/call."""
+    carry = step(init_carry)
+    np.asarray(jax.tree_util.tree_leaves(carry)[0])  # compile + warmup
+    best = float("inf")
+    for _ in range(trials):
+        carry = init_carry
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            carry = step(carry)
+        np.asarray(jax.tree_util.tree_leaves(carry)[0])
+        best = min(best, time.perf_counter() - t0)
+    return best / reps
+
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def measure_train_step():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from __graft_entry__ import _flagship_config, _make_model, _train_batch
+    from fastspeech2_lightning_tpu.training.state import create_train_state
+    from fastspeech2_lightning_tpu.training.step import make_train_step
+
+    config = _flagship_config()
+    model = _make_model(config)
+    B, L, T = 8, 128, 1024
+    batch = _train_batch(np.random.default_rng(0), B, L, T, 80)
+    batch = {k: jax.device_put(v) for k, v in batch.items()}
+    state = create_train_state(config, model, jax.random.PRNGKey(0), batch)
+    train_step = make_train_step(config, model)
+    rng = jax.random.PRNGKey(1)
+
+    def step(state):
+        new_state, _ = train_step(state, batch, rng, 0)
+        return new_state
+
+    sec = _chain_time(jax.jit(lambda s: step(s)), state, reps=10)
+    return sec * 1000, B * T / sec
+
+
+def measure_mas():
+    from fastspeech2_lightning_tpu.ops.mas_pallas import mas_width1_pallas
+
+    B, T, L = 8, 1024, 128
+    rng = np.random.default_rng(0)
+    la = jnp.asarray(rng.standard_normal((B, T, L)).astype(np.float32))
+    in_lens = jnp.full((B,), L, jnp.int32)
+    out_lens = jnp.full((B,), T, jnp.int32)
+
+    @jax.jit
+    def step(la):
+        hard = mas_width1_pallas(la, in_lens, out_lens)
+        # chain: next input depends on this output
+        return la + jnp.sum(hard) * 0.0 + jnp.sum(hard[:, :1, :1]) * 1e-12
+
+    return _chain_time(step, la) * 1000
+
+
+def measure_ctc_grad():
+    from fastspeech2_lightning_tpu.ops.ctc import ctc_forward_sum
+
+    B, T, L = 8, 1024, 128
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((B, T, L + 1)).astype(np.float32))
+    in_lens = jnp.full((B,), L, jnp.int32)
+    out_lens = jnp.full((B,), T, jnp.int32)
+
+    def loss(logits):
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        return jnp.mean(ctc_forward_sum(lp, in_lens, out_lens))
+
+    g = jax.grad(loss)
+
+    @jax.jit
+    def step(logits):
+        return logits + g(logits) * 1e-12  # chained: input depends on grad
+
+    return _chain_time(step, logits) * 1000
+
+
+if __name__ == "__main__":
+    train_ms, train_fps = measure_train_step()
+    mas_ms = measure_mas()
+    ctc_ms = measure_ctc_grad()
+    print(
+        json.dumps(
+            {
+                "train_step_ms_B8_T1024": round(train_ms, 2),
+                "train_frames_per_s": round(train_fps, 0),
+                "mas_pallas_ms_8x1024x128": round(mas_ms, 2),
+                "ctc_grad_ms_8x1024x128": round(ctc_ms, 2),
+            }
+        )
+    )
