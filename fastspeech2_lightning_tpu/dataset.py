@@ -197,6 +197,11 @@ def collate(
     if has_mel:
         mel_lens = np.array([s["mel"].shape[0] for s in samples], dtype=np.int32)
         T = pad_mel_to or int(mel_lens.max())
+        # When a bucket's pad target is capped below an utterance's true mel
+        # length (model.max_mel_length), the mel is truncated to T — keep
+        # mel_lens consistent with the padded axis so masks / MAS out_lens /
+        # CTC never see lengths beyond it.
+        mel_lens = np.minimum(mel_lens, T)
         n_mels = samples[0]["mel"].shape[1]
     else:
         mel_lens = None
@@ -377,8 +382,23 @@ class BucketedLoader:
         return n
 
     def _weights(self, indices: Sequence[int]) -> np.ndarray:
-        """Inverse-frequency weights over (language, speaker) classes
-        (use_weighted_sampler parity)."""
+        """Inverse-frequency weights over (language, speaker) classes.
+
+        Class frequencies are CORPUS-GLOBAL (reference semantics: everyvoice
+        BaseDataModule builds one WeightedRandomSampler over the whole
+        dataset), then normalized within the bucket being drawn from — so a
+        speaker concentrated in one length bucket is still re-weighted
+        against the full corpus, not just its bucket-mates."""
+        from collections import Counter
+
+        if not hasattr(self, "_global_counts"):
+            self._global_counts = Counter(
+                (
+                    item.get("language") or "default",
+                    item.get("speaker") or "default",
+                )
+                for item in self.dataset.items
+            )
         keys = [
             (
                 self.dataset.items[i].get("language") or "default",
@@ -386,10 +406,7 @@ class BucketedLoader:
             )
             for i in indices
         ]
-        from collections import Counter
-
-        counts = Counter(keys)
-        w = np.array([1.0 / counts[k] for k in keys])
+        w = np.array([1.0 / self._global_counts[k] for k in keys])
         return w / w.sum()
 
     def __iter__(self) -> Iterator[dict]:

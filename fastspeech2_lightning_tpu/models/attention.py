@@ -45,14 +45,31 @@ class Invertible1x1ConvLUS(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import jax
+
         c = self.channels
-        # fixed permutation (identity at init — the reference samples a random
-        # orthonormal matrix; determinism matters more here, the layer is
-        # unused by the default config)
-        p = self.variable("constants", "p", lambda: jnp.eye(c)).value
-        lower = self.param("lower", nn.initializers.zeros, (c, c))
-        upper_diag = self.param("upper_diag", nn.initializers.ones, (c,))
-        upper = self.param("upper", nn.initializers.zeros, (c, c))
+
+        # Random orthonormal W (det +1) decomposed as P @ L @ U from ONE rng
+        # draw — the reference's init (fs2/attn/attention.py:62-78). P is a
+        # fixed buffer; L (unit diagonal) and U are trainable, exactly as in
+        # the reference (p buffer; lower/upper/upper_diag parameters).
+        if self.is_initializing():
+            w = jax.random.normal(self.make_rng("params"), (c, c), jnp.float32)
+            q, _ = jnp.linalg.qr(w)
+            sign = jnp.where(jnp.linalg.det(q) < 0, -1.0, 1.0)
+            q = q.at[:, 0].multiply(sign)
+            p0, l0, u0 = jax.scipy.linalg.lu(q)
+        else:
+            # On apply, flax re-evaluates init fns abstractly (eval_shape)
+            # for validation — supply shape-correct dummies; values unused.
+            p0 = l0 = u0 = jnp.zeros((c, c), jnp.float32)
+
+        p = self.variable("constants", "p", lambda: p0).value
+        lower = self.param("lower", lambda _rng, _shape: jnp.tril(l0, -1), (c, c))
+        upper_diag = self.param(
+            "upper_diag", lambda _rng, _shape: jnp.diag(u0), (c,)
+        )
+        upper = self.param("upper", lambda _rng, _shape: jnp.triu(u0, 1), (c, c))
         U = jnp.triu(upper, 1) + jnp.diag(upper_diag)
         L = jnp.tril(lower, -1) + jnp.eye(c)
         W = p @ L @ U

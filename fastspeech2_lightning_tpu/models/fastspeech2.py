@@ -32,7 +32,7 @@ FastSpeech2Output = Dict[str, Any]
 
 class FastSpeech2(nn.Module):
     config: FastSpeech2Config
-    stats: Stats
+    stats: Optional[Stats]
     n_symbols: int
     n_speakers: int = 1
     n_languages: int = 1
@@ -70,9 +70,23 @@ class FastSpeech2(nn.Module):
             dtype=dt,
             name="encoder",
         )
-        self.variance_adaptor = VarianceAdaptor(
-            self.config, self.stats, name="variance_adaptor"
-        )
+        if self.stats is None:
+            # Graceful degradation parity (fs2/model.py:103-108): a model
+            # without corpus stats can still be constructed/inspected (e.g.
+            # loading a checkpoint whose stats were stripped); any forward
+            # pass fails with a clear error instead of an attribute crash.
+            import logging
+
+            logging.getLogger(__name__).error(
+                "Model has no value for stats (missing stats.json or the "
+                "checkpoint didn't save them); the variance adaptor cannot "
+                "be initialized and forward passes will fail."
+            )
+            self.variance_adaptor = None
+        else:
+            self.variance_adaptor = VarianceAdaptor(
+                self.config, self.stats, name="variance_adaptor"
+            )
         self.decoder = Conformer(
             num_layers=mcfg.decoder.layers,
             num_heads=mcfg.decoder.heads,
@@ -156,6 +170,14 @@ class FastSpeech2(nn.Module):
         if mcfg.multilingual:
             x = x + self.language_embedding(batch["language_id"])[:, None, :]
 
+        if self.variance_adaptor is None:
+            from ..exceptions import InvalidConfiguration
+
+            raise InvalidConfiguration(
+                "Cannot run the model forward: no variance adaptor because "
+                "stats are missing (see fs2/model.py:103-108 semantics). "
+                "Provide stats.json or a checkpoint that saved stats."
+            )
         va = self.variance_adaptor(
             inputs,
             x,

@@ -160,7 +160,14 @@ class Trainer:
         step = int(state.step)
         epoch = 0
         t0 = time.time()
+        timed_from = None  # (step, wall) set after the first (compile) step
         val_interval = config.training.val_check_interval or 500
+        if isinstance(val_interval, float):
+            # Lightning semantics (fs2/cli/train.py:33-41): a float is a
+            # fraction of an epoch; an int is a step count.
+            val_interval = max(1, round(val_interval * max(len(loader), 1)))
+        ckpt_steps = config.training.ckpt_steps
+        ckpt_epochs = config.training.ckpt_epochs
         es = config.training.early_stopping
         best_monitor = float("inf")
         stale_validations = 0
@@ -172,14 +179,29 @@ class Trainer:
                     db = shard_batch(db, self.mesh)
                 state, losses = train_step(state, db, rng, epoch)
                 step = int(state.step)
+                if timed_from is None:
+                    # steps/s excludes the first step (jit compile)
+                    timed_from = (step, time.time())
                 if step % 50 == 0 or step == 1:
                     host = {k: float(v) for k, v in losses.items()}
                     for k, v in host.items():
                         self._log(f"training/{k}_loss" if k != "grad_norm" else "training/grad_norm", v, step)
-                    sps = step / max(time.time() - t0, 1e-9)
+                    sps = (step - timed_from[0]) / max(
+                        time.time() - timed_from[1], 1e-9
+                    )
                     print(
                         f"step {step} epoch {epoch} total={host['total']:.4f} "
-                        f"spec={host.get('spec', 0):.4f} ({sps:.2f} steps/s)"
+                        f"spec={host.get('spec', 0):.4f} ({sps:.2f} steps/s "
+                        f"excl. compile)"
+                    )
+                if ckpt_steps and step % ckpt_steps == 0:
+                    save_checkpoint(
+                        self.ckpt_dir, state, config, self.stats,
+                        self.lang2id, self.speaker2id,
+                        self.text_processor.symbols,
+                    )
+                    prune_checkpoints(
+                        self.ckpt_dir, config.training.save_top_k_ckpts, MONITOR
                     )
                 if step % val_interval == 0 or step >= max_steps:
                     val_losses = self.validate(state, val_loader, eval_step, epoch)
@@ -210,6 +232,14 @@ class Trainer:
                 if step >= max_steps:
                     break
             epoch += 1
+            if ckpt_epochs and epoch % ckpt_epochs == 0:
+                save_checkpoint(
+                    self.ckpt_dir, state, config, self.stats,
+                    self.lang2id, self.speaker2id, self.text_processor.symbols,
+                )
+                prune_checkpoints(
+                    self.ckpt_dir, config.training.save_top_k_ckpts, MONITOR
+                )
         # final checkpoint
         save_checkpoint(
             self.ckpt_dir, state, config, self.stats,

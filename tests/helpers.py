@@ -119,3 +119,60 @@ def synthetic_batch(
             durs[b, ll - 1] += mel_lens[b] - base * ll
         batch["duration"] = durs
     return batch
+
+
+def make_training_workspace(tmp_path, n_utts: int = 4, **training_overrides):
+    """Tiny end-to-end workspace: writes wavs + filelist, runs `preprocess`,
+    and returns the loaded FastSpeech2Config (save_dir etc. under tmp_path)."""
+    import yaml
+    from click.testing import CliRunner
+
+    from fastspeech2_lightning_tpu.cli import app
+    from fastspeech2_lightning_tpu.preprocessing.pipeline import save_wav
+    from fastspeech2_lightning_tpu.utils import write_filelist
+
+    SR = 22050
+    wav_dir = tmp_path / "wavs"
+    rows = []
+    for i in range(n_utts):
+        t = np.arange(int(0.5 * SR)) / SR
+        save_wav(
+            wav_dir / f"utt{i}.wav",
+            (0.4 * np.sin(2 * np.pi * (150 + 30 * i) * t)).astype(np.float32),
+            SR,
+        )
+        rows.append({"basename": f"utt{i}", "characters": "ab cd",
+                     "language": "default", "speaker": "default"})
+    write_filelist(rows, tmp_path / "filelist.psv")
+    config = {
+        "model": {
+            "encoder": {"layers": 1, "heads": 2, "input_dim": 32,
+                        "feedforward_dim": 64, "conv_kernel_size": 3},
+            "decoder": {"layers": 1, "heads": 2, "input_dim": 32,
+                        "feedforward_dim": 64, "conv_kernel_size": 3},
+            "variance_predictors": {
+                "energy": {"input_dim": 32, "n_layers": 1, "n_bins": 16},
+                "pitch": {"input_dim": 32, "n_layers": 1, "n_bins": 16},
+                "duration": {"input_dim": 32, "n_layers": 1, "n_bins": 16}},
+            "max_mel_length": 64, "use_postnet": False},
+        "preprocessing": {"save_dir": str(tmp_path / "pre"), "train_split": 0.75,
+            "audio": {"n_mels": 20},
+            "source_data": [{"data_dir": str(wav_dir),
+                             "filelist": str(tmp_path / "filelist.psv")}]},
+        "text": {"symbols": {"letters": list("abcd")}},
+        "training": {"batch_size": 2, "bucket_count": 1,
+            "training_filelist": str(tmp_path / "pre" / "training_filelist.psv"),
+            "validation_filelist": str(tmp_path / "pre" / "validation_filelist.psv"),
+            "logger": {"save_dir": str(tmp_path / "logs")},
+            "optimizer": {"warmup_steps": 5},
+            **training_overrides},
+    }
+    (tmp_path / "config.yaml").write_text(yaml.safe_dump(config))
+    result = CliRunner().invoke(
+        app, ["preprocess", str(tmp_path / "config.yaml"), "--cpus", "1"]
+    )
+    assert result.exit_code == 0, result.output
+
+    from fastspeech2_lightning_tpu.config import FastSpeech2Config
+
+    return FastSpeech2Config.load_config_from_path(tmp_path / "config.yaml")
