@@ -472,6 +472,27 @@ class FastSpeech2Config(ConfigModel):
             data, ("model", "training", "preprocessing", "text"), config_path
         )
 
+    @model_validator(mode="after")
+    def _ensure_phone_symbols(self) -> "FastSpeech2Config":
+        """Phones-level models need the bundled g2p's IPA inventory in the
+        symbol table when the user declared no phone set of their own —
+        otherwise every g2p output token would be filtered out. Character
+        models are untouched (their symbol tables/ids stay stable)."""
+        level = self.model.target_text_representation_level
+        if level != TargetTrainingTextRepresentationLevel.characters:
+            if "g2p_ipa" not in self.text.symbols:
+                from ..text.g2p import IPA_PHONES
+
+                declared = set()
+                for key, val in self.text.symbols.items():
+                    if key == "pad":
+                        continue
+                    declared.update([val] if isinstance(val, str) else val)
+                missing = [p for p in IPA_PHONES if p not in declared]
+                if missing:
+                    self.text.symbols["g2p_ipa"] = missing
+        return self
+
     @model_validator(mode="before")
     @classmethod
     def check_and_upgrade_checkpoint(cls, data: Any) -> Any:

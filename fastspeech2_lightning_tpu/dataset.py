@@ -76,6 +76,16 @@ class FastSpeechDataset:
             key = "phone_tokens"
         if item.get(key):
             ids = self.text_processor.encode_escaped_string_sequence(item[key])
+        elif level != TargetTrainingTextRepresentationLevel.characters:
+            # phones-level ad-hoc input (inference parity with the
+            # reference's on-the-fly Preprocessor.process_text,
+            # fs2/dataset.py:88-98): run g2p now
+            if not hasattr(self, "_preprocessor"):
+                from .preprocessing.pipeline import Preprocessor
+
+                self._preprocessor = Preprocessor(self.config)
+            _, phone_tokens, _ = self._preprocessor.process_text(item)
+            ids = self.text_processor.encode_tokens(phone_tokens or [])
         else:
             text = item.get("characters") or item.get("text") or ""
             ids = self.text_processor.encode_text(text)
@@ -328,10 +338,16 @@ class BucketedLoader:
 
         # measure lengths from artifacts (text from tokens; mel from spec shape)
         text_lens, mel_lens = [], []
+        level = dataset.config.model.target_text_representation_level
+        tok_key = (
+            "character_tokens"
+            if level == TargetTrainingTextRepresentationLevel.characters
+            else "phone_tokens"
+        )
         for i in range(len(dataset)):
             item = dataset.items[i]
-            tl = len((item.get("character_tokens") or "").split("/")) or 1
-            if not item.get("character_tokens"):
+            tl = len((item.get(tok_key) or "").split("/")) or 1
+            if not item.get(tok_key):
                 tl = len(dataset._encode_text(item))
             text_lens.append(tl)
             a = dataset.config.preprocessing.audio

@@ -118,42 +118,58 @@ class Preprocessor:
     def process_text(self, item: dict, use_pfs: bool = False):
         """(character_tokens, phone_tokens, pfs) for a filelist item —
         everyvoice Preprocessor.process_text parity (fs2/dataset.py:89-98).
-        Phones come from a 'phones' column when present, else from a
-        configured g2p engine (text.g2p_engines: language -> dotted path of a
-        callable str -> str|list[str]); no g2p is bundled."""
+        Phones come from a 'phones' column when present, an 'arpabet' column
+        (converted through the standard ARPABET→IPA table), a configured g2p
+        engine (text.g2p_engines: language -> dotted path of a callable
+        str -> str|list[str], or a bundled engine name), or — when the model
+        trains on phones — the bundled engine for the item's language."""
         text = item.get("characters") or item.get("text") or ""
         character_tokens = self.text_processor.process_text(text)
         phone_tokens = None
+        phones = None
         if item.get("phones"):
             phone_tokens = self.text_processor.process_text(item["phones"])
-        elif self.config.text.g2p_engines:
+        elif item.get("arpabet"):
+            from ..text.g2p import arpabet_to_ipa
+
+            phones = arpabet_to_ipa(item["arpabet"])
+        else:
             language = item.get("language") or "default"
             engine = self._g2p_engine(language)
             if engine is not None:
                 phones = engine(text)
-                if isinstance(phones, (list, tuple)):
-                    phone_tokens = [
-                        p for p in phones if p in self.text_processor.symbol_to_id
-                    ]
-                else:
-                    phone_tokens = self.text_processor.process_text(str(phones))
+        if phones is not None:
+            if isinstance(phones, (list, tuple)):
+                phone_tokens = [
+                    p for p in phones if p in self.text_processor.symbol_to_id
+                ]
+            else:
+                phone_tokens = self.text_processor.process_text(str(phones))
         pfs = None
         if use_pfs:
             pfs = get_features_for_tokens(phone_tokens or character_tokens)
         return character_tokens, phone_tokens, pfs
 
     def _g2p_engine(self, language: str):
-        """Resolve (and cache) a g2p callable from text.g2p_engines."""
+        """Resolve (and cache) a g2p callable: a configured dotted path or
+        bundled-engine name wins; otherwise, if the model trains on phones or
+        phonological features, fall back to the bundled engine for the
+        language (english rules / character passthrough)."""
         cache = getattr(self, "_g2p_cache", None)
         if cache is None:
             cache = self._g2p_cache = {}
         if language in cache:
             return cache[language]
+        from ..config import TargetTrainingTextRepresentationLevel
+        from ..text.g2p import BUNDLED_ENGINES, get_g2p_engine
+
         dotted = self.config.text.g2p_engines.get(
             language
         ) or self.config.text.g2p_engines.get("default")
         engine = None
-        if dotted:
+        if dotted and str(dotted) in BUNDLED_ENGINES:
+            engine = BUNDLED_ENGINES[str(dotted)]
+        elif dotted:
             import importlib
 
             module_name, _, attr = str(dotted).rpartition(".")
@@ -164,6 +180,11 @@ class Preprocessor:
                     f"Could not load g2p engine '{dotted}' for language "
                     f"'{language}': {e}"
                 ) from e
+        elif (
+            self.config.model.target_text_representation_level
+            != TargetTrainingTextRepresentationLevel.characters
+        ):
+            engine = get_g2p_engine(language)
         cache[language] = engine
         return engine
 

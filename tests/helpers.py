@@ -121,7 +121,13 @@ def synthetic_batch(
     return batch
 
 
-def make_training_workspace(tmp_path, n_utts: int = 4, **training_overrides):
+def make_training_workspace(
+    tmp_path,
+    n_utts: int = 4,
+    model_overrides: dict | None = None,
+    text_overrides: dict | None = None,
+    **training_overrides,
+):
     """Tiny end-to-end workspace: writes wavs + filelist, runs `preprocess`,
     and returns the loaded FastSpeech2Config (save_dir etc. under tmp_path)."""
     import yaml
@@ -154,12 +160,14 @@ def make_training_workspace(tmp_path, n_utts: int = 4, **training_overrides):
                 "energy": {"input_dim": 32, "n_layers": 1, "n_bins": 16},
                 "pitch": {"input_dim": 32, "n_layers": 1, "n_bins": 16},
                 "duration": {"input_dim": 32, "n_layers": 1, "n_bins": 16}},
-            "max_mel_length": 64, "use_postnet": False},
+            "max_mel_length": 64, "use_postnet": False,
+            **(model_overrides or {})},
         "preprocessing": {"save_dir": str(tmp_path / "pre"), "train_split": 0.75,
             "audio": {"n_mels": 20},
             "source_data": [{"data_dir": str(wav_dir),
                              "filelist": str(tmp_path / "filelist.psv")}]},
-        "text": {"symbols": {"letters": list("abcd")}},
+        "text": {"symbols": {"letters": list("abcd")},
+                 **(text_overrides or {})},
         "training": {"batch_size": 2, "bucket_count": 1,
             "training_filelist": str(tmp_path / "pre" / "training_filelist.psv"),
             "validation_filelist": str(tmp_path / "pre" / "validation_filelist.psv"),

@@ -1,0 +1,109 @@
+"""Bundled g2p: unit behavior + phones-level end-to-end pipeline.
+
+Reference behavior being matched: everyvoice's g2p library feeds
+Preprocessor.process_text so `target_text_representation_level: phones` works
+without user code (consumed at fs2/dataset.py:155-174)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from fastspeech2_lightning_tpu.text.g2p import (
+    IPA_PHONES,
+    arpabet_to_ipa,
+    characters_g2p,
+    english_g2p,
+    get_g2p_engine,
+)
+
+from helpers import make_training_workspace
+
+
+def test_english_g2p_basic_rules():
+    assert english_g2p("this") == ["θ", "ɪ", "s"]  # th rule (unvoiced variant)
+    assert english_g2p("ship shape") == ["ʃ", "ɪ", "p", " ", "ʃ", "eɪ", "p"]
+    assert english_g2p("sing") == ["s", "ɪ", "ŋ"]
+    # magic-e drops the final silent e
+    assert english_g2p("make")[-1] != "ɛ"
+    # punctuation passes through as its own token
+    assert english_g2p("hi!")[-1] == "!"
+    # every emitted phone is in the published inventory (or passthrough)
+    for tok in english_g2p("the quick brown fox jumps over the lazy dog"):
+        assert tok == " " or tok in IPA_PHONES
+
+
+def test_arpabet_to_ipa_table():
+    assert arpabet_to_ipa("HH AH0 L OW1") == ["h", "ʌ", "l", "oʊ"]
+    assert arpabet_to_ipa("HH AY1  W ER1 L D") == [
+        "h", "aɪ", " ", "w", "ɝ", "l", "d",
+    ]
+
+
+def test_characters_passthrough_and_registry():
+    assert characters_g2p("aBc") == ["a", "b", "c"]
+    assert get_g2p_engine("eng") is english_g2p
+    assert get_g2p_engine("english") is english_g2p
+    assert get_g2p_engine("crk") is characters_g2p  # unmapped -> passthrough
+
+
+def test_phones_config_injects_ipa_inventory():
+    from fastspeech2_lightning_tpu.config import FastSpeech2Config
+    from fastspeech2_lightning_tpu.text import TextProcessor
+
+    cfg = FastSpeech2Config.model_validate(
+        {
+            "model": {"target_text_representation_level": "phones"},
+            "text": {"symbols": {"letters": list("abc")}},
+        }
+    )
+    tp = TextProcessor(cfg.text)
+    assert all(p in tp.symbol_to_id for p in IPA_PHONES)
+    # character-level configs stay untouched
+    cfg_chars = FastSpeech2Config.model_validate(
+        {"text": {"symbols": {"letters": list("abc")}}}
+    )
+    assert "g2p_ipa" not in cfg_chars.text.symbols
+
+
+def test_phones_level_end_to_end(tmp_path):
+    """preprocess -> train 2 steps -> synthesize, all at phones level with no
+    user-supplied g2p callable (VERDICT.md task 5 acceptance)."""
+    from click.testing import CliRunner
+
+    from fastspeech2_lightning_tpu.cli import app
+
+    config = make_training_workspace(
+        tmp_path,
+        model_overrides={"target_text_representation_level": "phones"},
+        max_steps=2,
+        val_check_interval=2,
+    )
+    # preprocess persisted phone tokens for every utterance
+    import csv
+
+    with open(config.training.training_filelist, newline="", encoding="utf8") as f:
+        rows = list(csv.DictReader(f, delimiter="|"))
+    assert rows and all(r.get("phone_tokens") for r in rows)
+
+    from fastspeech2_lightning_tpu.training.loop import Trainer
+
+    trainer = Trainer(config)
+    state = trainer.fit(max_steps=2, resume=False)
+    assert int(state.step) == 2
+
+    ckpt = sorted(trainer.ckpt_dir.glob("step=*"))[-1]
+    out_dir = tmp_path / "synth"
+    result = CliRunner().invoke(
+        app,
+        [
+            "synthesize", str(ckpt),
+            "-t", "abcd ab",
+            "-O", "spec",
+            "-o", str(out_dir),
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    specs = list(out_dir.rglob("*.npy"))
+    assert specs, "no spec written"
+    assert np.load(specs[0]).shape[0] == 20  # [n_mels, T]
