@@ -80,13 +80,20 @@ def check_datapoint(
     if objective_evaluation:
         metrics = squim_objective_metrics(audio, a.input_sampling_rate)
         if metrics is None:
-            print(
-                "objective evaluation requested but torchaudio is not "
-                "installed; skipping SQUIM metrics.",
-                file=sys.stderr,
-            )
-        else:
-            data_point.update(metrics)
+            # torchaudio absent: fall back to the native NumPy estimators
+            # (intrusive STOI/SI-SDR against a denoised arm; PESQ has no
+            # non-neural reference-free analogue and is reported as null).
+            from ..preprocessing.objective import estimate_quality
+
+            if not getattr(check_datapoint, "_warned_squim", False):
+                check_datapoint._warned_squim = True
+                print(
+                    "torchaudio not installed: using native STOI/SI-SDR "
+                    "estimates (PESQ unavailable without SQUIM).",
+                    file=sys.stderr,
+                )
+            metrics = estimate_quality(audio, a.input_sampling_rate)
+        data_point.update(metrics)
 
     # cheap clipping detection (check_data_heavy.py:64-72)
     audio_max, audio_min = audio.max(), audio.min()

@@ -1,0 +1,97 @@
+"""Native objective metrics (STOI / SI-SDR) + check-data integration.
+
+Reference analogue: SQUIM metrics in check-data
+(fs2/cli/check_data_heavy.py:46-55); here computed natively since torchaudio
+is not in the image."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from fastspeech2_lightning_tpu.preprocessing.objective import (
+    estimate_quality,
+    si_sdr,
+    stoi,
+)
+
+from helpers import make_training_workspace
+
+SR = 22050
+
+
+def _speechlike(seconds=1.0, seed=0):
+    """Amplitude-modulated harmonic signal (speech-like envelope dynamics)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * SR)) / SR
+    f0 = 140 + 20 * np.sin(2 * np.pi * 2.1 * t)
+    sig = sum(
+        (0.5 / k) * np.sin(2 * np.pi * k * np.cumsum(f0) / SR) for k in (1, 2, 3)
+    )
+    env = 0.5 * (1 + np.sin(2 * np.pi * 4 * t + rng.uniform(0, 6.28)))
+    return (sig * env).astype(np.float64)
+
+
+def test_si_sdr_matches_known_snr():
+    rng = np.random.default_rng(0)
+    s = _speechlike()
+    noise = rng.standard_normal(len(s))
+    for target_db in (0.0, 10.0, 20.0):
+        scale = np.linalg.norm(s) / (np.linalg.norm(noise) * 10 ** (target_db / 20))
+        est = s + scale * noise
+        got = si_sdr(est, s)
+        assert abs(got - target_db) < 0.5, (target_db, got)
+    # scale invariance: gain on the estimate does not change SI-SDR
+    est = s + 0.1 * noise
+    assert abs(si_sdr(3.7 * est, s) - si_sdr(est, s)) < 1e-6
+    # identical signals cap out
+    assert si_sdr(s, s) >= 60
+
+
+def test_stoi_monotone_in_noise():
+    rng = np.random.default_rng(1)
+    s = _speechlike(seconds=1.5)
+    clean_score = stoi(s, s, SR)
+    assert clean_score > 0.95
+    noise = rng.standard_normal(len(s))
+    scores = []
+    for snr_db in (20.0, 5.0, -5.0):
+        scale = np.linalg.norm(s) / (np.linalg.norm(noise) * 10 ** (snr_db / 20))
+        scores.append(stoi(s, s + scale * noise, SR))
+    assert clean_score > scores[0] > scores[1] > scores[2]
+
+
+def test_estimate_quality_flags_noisy_audio():
+    rng = np.random.default_rng(2)
+    clean = _speechlike(seconds=1.2)
+    noisy = clean + 0.5 * rng.standard_normal(len(clean))
+    q_clean = estimate_quality(clean, SR)
+    q_noisy = estimate_quality(noisy, SR)
+    assert q_clean["pesq"] is None and q_noisy["pesq"] is None
+    assert q_clean["stoi"] > q_noisy["stoi"]
+    assert q_clean["si_sdr"] > q_noisy["si_sdr"]
+
+
+def test_check_data_writes_objective_metrics(tmp_path):
+    from click.testing import CliRunner
+
+    from fastspeech2_lightning_tpu.cli import app
+
+    make_training_workspace(tmp_path)
+    out_dir = tmp_path / "checked"
+    result = CliRunner().invoke(
+        app,
+        [
+            "check-data", str(tmp_path / "config.yaml"),
+            "--output-dir", str(out_dir),
+            "--objective-evaluation",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    report = json.loads((out_dir / "checked-data.json").read_text())
+    assert report, "empty report"
+    for row in report:
+        assert "stoi" in row and "si_sdr" in row
+        assert np.isfinite(row["si_sdr"])
