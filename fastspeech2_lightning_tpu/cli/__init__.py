@@ -104,6 +104,14 @@ def train(config_file: Path, config_args, max_steps, resume, model_parallel, dis
 )
 @click.option("--language", "-l", default=None)
 @click.option("--speaker", "-s", default=None)
+@click.option(
+    "--text-representation",
+    type=click.Choice(["characters", "phones", "arpabet"]),
+    default="characters",
+    help="Which filelist column / input representation to synthesize from "
+    "(fs2/cli/synthesize.py --text-representation parity; arpabet is "
+    "converted through the bundled ARPABET->IPA table).",
+)
 @click.option("--duration-control", "-D", type=float, default=1.0)
 @click.option("--pitch-control", type=float, default=1.0)
 @click.option("--energy-control", type=float, default=1.0)
@@ -129,6 +137,7 @@ def synthesize(
     output_type,
     language,
     speaker,
+    text_representation,
     duration_control,
     pitch_control,
     energy_control,
@@ -187,6 +196,21 @@ def synthesize(
             Path(vocoder_path)
         )
 
+    from ..config import (
+        DatasetTextRepresentation,
+        TargetTrainingTextRepresentationLevel,
+    )
+
+    if (
+        text_representation != "characters"
+        and config.model.target_text_representation_level
+        == TargetTrainingTextRepresentationLevel.characters
+    ):
+        raise click.UsageError(
+            f"--text-representation {text_representation} requires a model "
+            "trained on phones (target_text_representation_level), but this "
+            "checkpoint was trained on characters."
+        )
     items = prepare_data(
         texts=list(texts) or None,
         language=language,
@@ -196,6 +220,7 @@ def synthesize(
         stats=stats,
         lang2id=lang2id,
         speaker2id=speaker2id,
+        text_representation=DatasetTextRepresentation(text_representation),
         duration_control=duration_control,
         style_reference=style_reference,
     )

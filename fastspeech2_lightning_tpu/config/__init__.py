@@ -304,6 +304,12 @@ class FastSpeech2TrainingConfig(ConfigModel):
     ckpt_steps: Optional[int] = Field(default=None)
     ckpt_epochs: Optional[int] = Field(default=1)
     val_check_interval: Optional[Union[int, float]] = Field(default=500)
+    prefetch_batches: int = Field(
+        default=2,
+        description="Host->device input batches kept in flight by the "
+        "training loop's background prefetcher (0 disables; the analogue of "
+        "DataLoader workers).",
+    )
     max_epochs: int = Field(default=1000)
     max_steps: int = Field(default=100000)
     finetune_checkpoint: Optional[Path] = Field(default=None)

@@ -90,10 +90,10 @@ def _hann(win_length: int) -> np.ndarray:
     return 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(win_length) / win_length)
 
 
-def stft_magnitude_numpy(
+def stft_complex_numpy(
     audio: np.ndarray, n_fft: int, hop: int, win_length: int
 ) -> np.ndarray:
-    """[T_frames, n_fft//2+1] magnitude; center=True with reflect padding."""
+    """[T_frames, n_fft//2+1] complex STFT; center=True, reflect padding."""
     pad = n_fft // 2
     x = np.pad(audio, (pad, pad), mode="reflect")
     n_frames = 1 + (len(x) - n_fft) // hop
@@ -102,8 +102,18 @@ def stft_magnitude_numpy(
         lpad = (n_fft - win_length) // 2
         window = np.pad(window, (lpad, n_fft - win_length - lpad))
     frames = np.lib.stride_tricks.sliding_window_view(x, n_fft)[::hop][:n_frames]
-    spec = np.fft.rfft(frames * window[None, :], n=n_fft, axis=1)
-    return np.abs(spec).astype(np.float32)
+    return np.fft.rfft(frames * window[None, :], n=n_fft, axis=1).astype(
+        np.complex64
+    )
+
+
+def stft_magnitude_numpy(
+    audio: np.ndarray, n_fft: int, hop: int, win_length: int
+) -> np.ndarray:
+    """[T_frames, n_fft//2+1] magnitude; center=True with reflect padding."""
+    return np.abs(stft_complex_numpy(audio, n_fft, hop, win_length)).astype(
+        np.float32
+    )
 
 
 def mel_spectrogram_numpy(
@@ -117,7 +127,11 @@ def mel_spectrogram_numpy(
     f_max: float,
     spec_type: str = "mel-librosa",
 ) -> np.ndarray:
-    """[n_mels, T_frames] log-mel (or [n_fft//2+1, T] log-linear)."""
+    """[n_mels, T_frames] log-mel, [n_fft//2+1, T] log-linear, or — for
+    spec_type='raw' — the [n_fft//2+1, T] complex STFT with no log (parity
+    with everyvoice's AudioSpecTypeEnum raw / get_spectral_transform)."""
+    if spec_type == "raw":
+        return stft_complex_numpy(audio, n_fft, hop, win_length).T
     mag = stft_magnitude_numpy(audio, n_fft, hop, win_length)  # [T, bins]
     if spec_type == "linear":
         out = mag.T

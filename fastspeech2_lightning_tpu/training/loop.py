@@ -41,6 +41,64 @@ def _device_batch(batch: dict) -> dict:
     return {k: v for k, v in batch.items() if k not in drop}
 
 
+class DevicePrefetcher:
+    """Host→device double buffer (reference analogue: DataLoader workers,
+    fs2/dataset.py:295-351).
+
+    A background thread runs the loader's collation AND dispatches the
+    (asynchronous) host→device transfer, keeping `size` batches in flight so
+    the accelerator never waits on the input pipeline. `size=0` disables
+    prefetching (synchronous iteration — for A/B measurement)."""
+
+    _SENTINEL = object()
+
+    def __init__(self, loader, mesh=None, size: int = 2):
+        self.loader = loader
+        self.mesh = mesh
+        self.size = size
+
+    def _put(self, batch):
+        db = _device_batch(batch)
+        if self.mesh is not None:
+            db = shard_batch(db, self.mesh)
+        else:
+            db = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x) if hasattr(x, "shape") else x, db
+            )
+        return db
+
+    def __iter__(self):
+        if self.size <= 0:
+            for batch in self.loader:
+                yield self._put(batch)
+            return
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=self.size)
+        err: list[BaseException] = []
+
+        def produce():
+            try:
+                for batch in self.loader:
+                    q.put(self._put(batch))
+            except BaseException as e:  # propagate into the consumer
+                err.append(e)
+            finally:
+                q.put(self._SENTINEL)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is self._SENTINEL:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]
+
+
 class Trainer:
     """Mesh-aware trainer: with one visible device it runs plain jit; with
     several it lays the batch over the 'data' axis and the wide matmul params
@@ -172,11 +230,11 @@ class Trainer:
         best_monitor = float("inf")
         stale_validations = 0
         stop_early = False
+        prefetch = DevicePrefetcher(
+            loader, mesh=self.mesh, size=config.training.prefetch_batches
+        )
         while step < max_steps and epoch < config.training.max_epochs and not stop_early:
-            for batch in loader:
-                db = _device_batch(batch)
-                if self.mesh is not None:
-                    db = shard_batch(db, self.mesh)
+            for db in prefetch:
                 state, losses = train_step(state, db, rng, epoch)
                 step = int(state.step)
                 if timed_from is None:

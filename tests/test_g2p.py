@@ -107,3 +107,24 @@ def test_phones_level_end_to_end(tmp_path):
     specs = list(out_dir.rglob("*.npy"))
     assert specs, "no spec written"
     assert np.load(specs[0]).shape[0] == 20  # [n_mels, T]
+
+    # arpabet filelist input via --text-representation (ARPABET->IPA table)
+    arpa_list = tmp_path / "arpa.psv"
+    arpa_list.write_text(
+        "basename|arpabet|language|speaker\n"
+        "arpa0|HH AH0 L OW1|default|default\n"
+    )
+    out_dir2 = tmp_path / "synth_arpa"
+    result = CliRunner().invoke(
+        app,
+        [
+            "synthesize", str(ckpt),
+            "-f", str(arpa_list),
+            "--text-representation", "arpabet",
+            "-O", "spec",
+            "-o", str(out_dir2),
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    assert list(out_dir2.rglob("*.npy")), "no spec from arpabet input"

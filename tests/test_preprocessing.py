@@ -254,3 +254,22 @@ def test_on_device_spec_matches_host(corpus: FastSpeech2Config, tmp_path):
             a, b = np.load(hf), np.load(df)
             assert a.shape == b.shape
             np.testing.assert_allclose(b, a, atol=atol)
+
+
+def test_spec_type_raw_complex_stft():
+    """spec_type='raw' yields the complex STFT (everyvoice AudioSpecTypeEnum
+    raw parity), consistent with the magnitude path."""
+    from fastspeech2_lightning_tpu.preprocessing.features import (
+        mel_spectrogram_numpy,
+        stft_magnitude_numpy,
+    )
+
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal(22050).astype(np.float32)
+    raw = mel_spectrogram_numpy(
+        audio, 22050, 1024, 256, 1024, 80, 0, 8000, spec_type="raw"
+    )
+    assert np.iscomplexobj(raw)
+    assert raw.shape[0] == 1024 // 2 + 1  # [bins, T]
+    mag = stft_magnitude_numpy(audio, 1024, 256, 1024)
+    np.testing.assert_allclose(np.abs(raw).T, mag, rtol=1e-5, atol=1e-5)

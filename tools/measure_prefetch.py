@@ -1,0 +1,110 @@
+"""Measure training steps/s with and without host->device prefetch.
+
+Honest timing: the train step chains through its state, and the clock stops
+only after a device->host fetch of the final loss. The input pipeline does
+real collate-style work per batch (padding per-utterance numpy arrays into a
+fixed-shape batch) on the host. Run on an otherwise idle chip.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax  # noqa: E402
+
+from __graft_entry__ import _flagship_config, _make_model, _train_batch  # noqa: E402
+from fastspeech2_lightning_tpu.training.loop import DevicePrefetcher  # noqa: E402
+from fastspeech2_lightning_tpu.training.state import create_train_state  # noqa: E402
+from fastspeech2_lightning_tpu.training.step import make_train_step  # noqa: E402
+
+B, L, T, N_MELS = 8, 128, 1024, 80
+STEPS = 30
+
+
+class CollatingLoader:
+    """Pads per-utterance arrays into fixed-shape batches — the same memory
+    traffic a real collate does (dataset.collate)."""
+
+    def __init__(self, n_batches: int, seed: int = 0):
+        self.n_batches = n_batches
+        rng = np.random.default_rng(seed)
+        self.utts = [
+            {
+                "text": rng.integers(1, 60, size=rng.integers(L // 2, L + 1)).astype(np.int32),
+                "mel": rng.standard_normal(
+                    (rng.integers(T // 2, T + 1), N_MELS)
+                ).astype(np.float32),
+            }
+            for _ in range(64)
+        ]
+        self.template = _train_batch(rng, B, L, T, N_MELS)
+        self.rng = np.random.default_rng(seed + 1)
+
+    def __iter__(self):
+        for _ in range(self.n_batches):
+            batch = dict(self.template)
+            text = np.zeros((B, L), np.int32)
+            mel = np.zeros((B, T, N_MELS), np.float32)
+            src_lens = np.zeros(B, np.int32)
+            mel_lens = np.zeros(B, np.int32)
+            for b in range(B):
+                u = self.utts[self.rng.integers(0, len(self.utts))]
+                tl, ml = len(u["text"]), len(u["mel"])
+                text[b, :tl] = u["text"]
+                mel[b, :ml] = u["mel"]
+                src_lens[b], mel_lens[b] = L, T  # static masks (aligner needs full)
+            batch.update(text=text, mel=mel, src_lens=src_lens, mel_lens=mel_lens)
+            yield batch
+
+
+def run(prefetch_size: int, train_step, state0) -> float:
+    loader = CollatingLoader(STEPS + 2)
+    pf = DevicePrefetcher(loader, mesh=None, size=prefetch_size)
+    rng = jax.random.PRNGKey(0)
+    state = state0
+    it = iter(pf)
+    # warm: 2 steps outside the timed region (compile + queue fill)
+    for _ in range(2):
+        state, losses = train_step(state, next(it), rng, 0)
+    float(np.asarray(losses["total"]))
+    t0 = time.perf_counter()
+    n = 0
+    for db in it:
+        state, losses = train_step(state, db, rng, 0)
+        n += 1
+    final = float(np.asarray(losses["total"]))  # forced completion
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final)
+    return n / dt
+
+
+def main():
+    config = _flagship_config()
+    model = _make_model(config)
+    batch = _train_batch(np.random.default_rng(0), B, L, T, N_MELS)
+    train_step = make_train_step(config, model)
+
+    # shared-chip timing is noisy: interleave trials and take best-of per
+    # config so drift hits both arms equally
+    best = {0: 0.0, 2: 0.0}
+    for _ in range(3):
+        for size in (0, 2):
+            state = create_train_state(config, model, jax.random.PRNGKey(0), batch)
+            best[size] = max(best[size], run(size, train_step, state))
+    results = {
+        "steps_per_s_prefetch_0": round(best[0], 3),
+        "steps_per_s_prefetch_2": round(best[2], 3),
+        "speedup": round(best[2] / best[0], 3),
+    }
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
