@@ -3,7 +3,6 @@ fs2/tests/test_loading.py:23-203 patterns): wrong model type, newer versions,
 <1.2 embedding-table remap, top-k pruning, global-step recovery, and a full
 save->load->identical-predictions roundtrip."""
 
-import json
 
 import jax
 import numpy as np

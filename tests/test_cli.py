@@ -3,7 +3,6 @@ plus the full end-to-end slice: preprocess -> train -> synthesize -> check-data
 on a tiny synthetic corpus."""
 
 import json
-from pathlib import Path
 
 import numpy as np
 import pytest

@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from fastspeech2_lightning_tpu.models import FastSpeech2
 from fastspeech2_lightning_tpu.training.loss import compute_loss

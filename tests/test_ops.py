@@ -14,7 +14,7 @@ from fastspeech2_lightning_tpu.ops import (
     length_regulate,
     mas_width1_batched,
 )
-from fastspeech2_lightning_tpu.ops.mas import b_mas_numpy, mas_width1_numpy
+from fastspeech2_lightning_tpu.ops.mas import b_mas_numpy
 
 
 # ---------------------------------------------------------------------------
@@ -302,8 +302,6 @@ def test_ctc_grad_pallas_interpret_matches_scan_grad():
     orig_use, orig_scan = ctc_mod._use_pallas, cp.banded_lse_scan_pallas
     try:
         ctc_mod._use_pallas = lambda *a: True
-        import functools as ft
-
         cp_fn = orig_scan
 
         def interp(*args, **kw):

@@ -3,7 +3,6 @@ sharding, tensor-parallel param rules, full train step under both, and
 loss equivalence between 1-device and 8-device execution."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P

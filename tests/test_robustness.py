@@ -16,7 +16,7 @@ import pytest
 
 from fastspeech2_lightning_tpu.dataset import BucketedLoader, collate
 
-from helpers import synthetic_batch, tiny_config, tiny_stats
+from helpers import synthetic_batch, tiny_config
 
 
 def _samples(rng, n=2, L=6, T=40, n_mels=4):

@@ -4,7 +4,6 @@ HiFiGAN generator parity vs torch primitives, prepare_data chunking."""
 import numpy as np
 import pytest
 
-from fastspeech2_lightning_tpu.config import DatasetTextRepresentation
 from fastspeech2_lightning_tpu.synthesis import (
     get_synthesis_output_writers,
     prepare_data,

@@ -259,7 +259,6 @@ def test_conformer_layer_matches_torch_reference_math():
     mapping and check our flax layer reproduces its eval-mode outputs."""
     torch = pytest.importorskip("torch")
     import torch.nn as tnn
-    import torch.nn.functional as F
     import jax.numpy as jnp
 
     from fastspeech2_lightning_tpu.models.conformer import ConformerLayer

@@ -11,7 +11,7 @@ from fastspeech2_lightning_tpu.training.state import (
     create_train_state,
     noam_schedule,
 )
-from fastspeech2_lightning_tpu.training.step import make_eval_step, make_train_step
+from fastspeech2_lightning_tpu.training.step import make_train_step
 
 from helpers import synthetic_batch, tiny_config, tiny_stats
 
