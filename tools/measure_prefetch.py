@@ -92,11 +92,20 @@ def main():
     train_step = make_train_step(config, model)
 
     # shared-chip timing is noisy: interleave trials and take best-of per
-    # config so drift hits both arms equally
+    # config so drift hits both arms equally. The state is donated by the
+    # step, so snapshot it to host once and restore per trial (model.init
+    # through the relay is expensive).
+    state0 = create_train_state(config, model, jax.random.PRNGKey(0), batch)
+    host_state = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if hasattr(x, "shape") else x, state0
+    )
     best = {0: 0.0, 2: 0.0}
-    for _ in range(3):
+    for _ in range(2):
         for size in (0, 2):
-            state = create_train_state(config, model, jax.random.PRNGKey(0), batch)
+            state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x) if hasattr(x, "shape") else x,
+                host_state,
+            )
             best[size] = max(best[size], run(size, train_step, state))
     results = {
         "steps_per_s_prefetch_0": round(best[0], 3),
