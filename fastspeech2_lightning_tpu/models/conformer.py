@@ -19,6 +19,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -69,6 +70,17 @@ class FeedForwardModule(nn.Module):
         return x
 
 
+def _flash_attention_available(T: int, dh: int) -> bool:
+    """The Pallas TPU flash kernel wants seq len a multiple of its 128 block
+    and head dims that are <=128 or 128-multiples; only the TPU backend
+    (incl. the remote 'axon' tunnel) can run it."""
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return T >= 128 and T % 128 == 0 and (dh <= 128 or dh % 128 == 0)
+
+
 class SelfAttentionModule(nn.Module):
     num_heads: int
     dropout: float
@@ -86,14 +98,54 @@ class SelfAttentionModule(nn.Module):
         q = q.reshape(B, T, h, dh)
         k = k.reshape(B, T, h, dh)
         v = v.reshape(B, T, h, dh)
-        # scores + softmax in f32 for stability; matmuls on the MXU
-        scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) / jnp.sqrt(dh)
-        bias = jnp.where(mask[:, None, None, :], 0.0, -1e9)
-        weights = nn.softmax(scores + bias, axis=-1).astype(self.dtype)
-        weights = nn.Dropout(self.dropout, deterministic=deterministic)(weights)
-        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(B, T, d)
+
+        # At T=1024 the materialized [B, h, T, T] score tensor is pure HBM
+        # traffic (attention is ~6% of model FLOPs but ~half of decoder
+        # wall-clock). When attention-weight dropout is inactive, use the
+        # Pallas flash kernel: streaming softmax, scores never leave VMEM.
+        # Padding is carried as segment ids (valid=1, pad=0) so valid queries
+        # attend only to valid keys.
+        use_flash = (
+            deterministic or self.dropout == 0.0
+        ) and _flash_attention_available(T, dh)
+        if use_flash:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                BlockSizes,
+                SegmentIds,
+                flash_attention,
+            )
+
+            # default blocks (128) leave the kernel launch-bound at these
+            # shapes; measured sweep: 1024-wide q/k blocks are ~3x faster
+            bq = min(T, 1024)
+            bk = min(T, 1024)
+            bs = BlockSizes(
+                block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+                block_q_major_dkv=bq, block_k_major_dkv=bk,
+                block_k_dkv=bk, block_q_dkv=bq,
+                block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+            )
+            seg = mask.astype(jnp.int32)
+            out = flash_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                segment_ids=SegmentIds(q=seg, kv=seg),
+                sm_scale=float(1.0 / np.sqrt(dh)),
+                block_sizes=bs,
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B, T, d).astype(self.dtype)
+        else:
+            # scores + softmax in f32 for stability; matmuls on the MXU
+            scores = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) / jnp.sqrt(dh)
+            bias = jnp.where(mask[:, None, None, :], 0.0, -1e9)
+            weights = nn.softmax(scores + bias, axis=-1).astype(self.dtype)
+            weights = nn.Dropout(self.dropout, deterministic=deterministic)(
+                weights
+            )
+            out = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(B, T, d)
         out = nn.Dense(d, name="out", dtype=self.dtype)(out)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         return out

