@@ -129,6 +129,12 @@ def train(config_file: Path, config_args, max_steps, resume, model_parallel, dis
 )
 @click.option("--batch-size", type=int, default=None)
 @click.option("--teacher-forcing-directory", type=click.Path(path_type=Path), default=None)
+@click.option(
+    "--use-ema/--no-use-ema",
+    default=False,
+    help="Serve the exponential-moving-average weights saved by training "
+    "with training.ema_decay > 0 (beyond-reference feature).",
+)
 @_config_args_option
 def synthesize(
     model_path: Path,
@@ -146,6 +152,7 @@ def synthesize(
     output_dir,
     batch_size,
     teacher_forcing_directory,
+    use_ema,
     config_args,
 ):
     from ..type_definitions import SynthesizeOutputFormats
@@ -171,7 +178,7 @@ def synthesize(
 
     (
         model, variables, config, stats, lang2id, speaker2id, global_step,
-    ) = load_model_from_checkpoint(model_path)
+    ) = load_model_from_checkpoint(model_path, use_ema=use_ema)
 
     if config_args:
         # inference-time dotted-path overrides (inference_base_command parity)
@@ -361,6 +368,70 @@ def check_data(config_file: Path, filelist, calculate_stats, model_path,
         config, filelist, calculate_stats, model_path, Path(output_dir),
         objective_evaluation=objective_evaluation,
     )
+
+
+@app.command(
+    "average-checkpoints",
+    help="Uniform parameter averaging over checkpoints (serving artifact; "
+    "beyond-reference feature).",
+)
+@click.argument("ckpt_dir", type=click.Path(exists=True, path_type=Path))
+@click.option(
+    "--output", "-o", type=click.Path(path_type=Path), required=True,
+    help="Directory to write the averaged checkpoint to.",
+)
+@click.option(
+    "--last", "-n", type=int, default=None,
+    help="Average the N newest checkpoints (default: all under CKPT_DIR).",
+)
+@click.option(
+    "--use-ema/--no-use-ema", default=False,
+    help="Average the EMA shadows instead of the raw params.",
+)
+def average_checkpoints_cmd(ckpt_dir: Path, output: Path, last, use_ema):
+    from ..training.checkpoint import average_checkpoints
+
+    steps = sorted(
+        (p for p in Path(ckpt_dir).glob("step=*") if p.is_dir()),
+        key=lambda p: int(p.name.split("=")[1]),
+    )
+    if not steps:
+        raise click.UsageError(f"No step=N checkpoints under {ckpt_dir}")
+    if last:
+        steps = steps[-last:]
+    out = average_checkpoints(steps, Path(output), use_ema=use_ema)
+    click.echo(f"Averaged {len(steps)} checkpoints -> {out}")
+
+
+@app.command(
+    "serve",
+    help="Resident batch-streaming synthesis server (POST /synthesize "
+    "streams wav chunk-by-chunk; GET /health). Beyond-reference feature.",
+)
+@click.argument("model_path", type=click.Path(exists=True, path_type=Path))
+@click.option("--vocoder-path", "-v", type=click.Path(path_type=Path), default=None)
+@click.option("--host", default="127.0.0.1")
+@click.option("--port", type=int, default=8777)
+@click.option("--max-batch", type=int, default=8,
+              help="Chunks micro-batched into one device call (fixed shape).")
+@click.option("--batch-window-ms", type=float, default=5.0,
+              help="How long to wait for more chunks before dispatching.")
+@click.option("--max-frames", type=int, default=None)
+@click.option("--use-ema/--no-use-ema", default=False)
+def serve_cmd(model_path, vocoder_path, host, port, max_batch,
+              batch_window_ms, max_frames, use_ema):
+    from ..serving import serve
+
+    server = serve(
+        model_path, vocoder_path=vocoder_path, host=host, port=port,
+        max_batch=max_batch, batch_window_ms=batch_window_ms,
+        max_frames=max_frames, use_ema=use_ema,
+    )
+    click.echo(f"serving on http://{server.address[0]}:{server.address[1]}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
 
 
 def main():

@@ -342,6 +342,23 @@ class FastSpeech2TrainingConfig(ConfigModel):
     attn_bin_loss_weight: float = Field(default=0.1)
     attn_bin_loss_warmup_epochs: Annotated[int, Field(ge=1)] = Field(default=100)
     gradient_clip_val: float = Field(default=1.0)
+    ema_decay: float = Field(
+        default=0.0,
+        ge=0.0,
+        lt=1.0,
+        description="Exponential-moving-average decay for a shadow copy of "
+        "the weights (0 disables). The EMA tree is updated inside the jitted "
+        "train step, saved as 'ema_params' in every checkpoint, and used at "
+        "synthesis with --use-ema. No reference equivalent.",
+    )
+    freeze_components: list[str] = Field(
+        default_factory=list,
+        description="Top-level parameter subtrees to freeze during "
+        "(fine-)tuning, e.g. ['encoder', 'text_input_layer']. The reference's "
+        "loss signature accepts frozen_components but never uses it "
+        "(fs2/loss.py:19-32); here freezing is enforced in the optimizer "
+        "(masked zero updates), which also zeroes their weight decay.",
+    )
     seed: int = Field(default=0)
     bucket_count: int = Field(
         default=4,

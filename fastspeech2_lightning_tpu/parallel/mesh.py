@@ -137,6 +137,9 @@ def shard_state(state, mesh: Mesh):
         constants=jax.tree_util.tree_map(put_repl, state.constants)
         if state.constants is not None
         else None,
+        ema_params=jax.tree_util.tree_map(put_param, state.ema_params, pspecs)
+        if getattr(state, "ema_params", None) is not None
+        else None,
         step=jax.device_put(state.step, NamedSharding(mesh, P())),
     )
     return new_state

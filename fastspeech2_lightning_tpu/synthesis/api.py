@@ -66,13 +66,14 @@ class Synthesizer:
         ckpt_path: Path | str,
         vocoder_path: Optional[Path | str] = None,
         max_frames: Optional[int] = None,
+        use_ema: bool = False,
     ) -> "Synthesizer":
         from ..models.hifigan import load_vocoder_checkpoint
         from .synthesize import load_model_from_checkpoint
 
         (
             model, variables, config, stats, lang2id, speaker2id, _step,
-        ) = load_model_from_checkpoint(Path(ckpt_path))
+        ) = load_model_from_checkpoint(Path(ckpt_path), use_ema=use_ema)
         vocoder = None
         if vocoder_path is not None:
             vocoder, _, _ = load_vocoder_checkpoint(Path(vocoder_path))

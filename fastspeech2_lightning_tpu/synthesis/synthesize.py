@@ -19,10 +19,20 @@ from ..training.loss import compute_loss
 from ..type_definitions import Stats
 
 
-def load_model_from_checkpoint(ckpt_path: Path):
-    """(model, variables, config, stats, lang2id, speaker2id, global_step)."""
+def load_model_from_checkpoint(ckpt_path: Path, use_ema: bool = False):
+    """(model, variables, config, stats, lang2id, speaker2id, global_step).
+
+    With use_ema, serve the exponential-moving-average shadow weights
+    (training.ema_decay > 0) instead of the raw params."""
     ckpt_path = Path(ckpt_path)
     meta, arrays = load_checkpoint(ckpt_path)
+    if use_ema:
+        if arrays.get("ema_params") is None:
+            raise ValueError(
+                f"{ckpt_path} has no ema_params — the model was trained "
+                "without training.ema_decay; cannot honor --use-ema."
+            )
+        arrays["params"] = arrays["ema_params"]
     config = FastSpeech2Config.model_validate(meta["config"])
     stats = Stats(**meta["stats"]) if meta.get("stats") else None
     tp = TextProcessor(config.text)

@@ -60,6 +60,8 @@ def save_checkpoint(
         arrays["batch_stats"] = jax.device_get(state.batch_stats)
     if getattr(state, "constants", None) is not None:
         arrays["constants"] = jax.device_get(state.constants)
+    if getattr(state, "ema_params", None) is not None:
+        arrays["ema_params"] = jax.device_get(state.ema_params)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save((path / "arrays").resolve(), arrays)
     ckptr.wait_until_finished()
@@ -169,6 +171,67 @@ def check_and_upgrade_checkpoint(
         arrays["params"]["text_input_layer"]["embedding"] = new
         meta["model_info"]["version"] = MODEL_VERSION
     return meta, arrays
+
+
+def average_checkpoints(
+    ckpt_paths: list[Path],
+    out_path: Path,
+    use_ema: bool = False,
+) -> Path:
+    """Uniform parameter averaging across checkpoints (Vaswani-style).
+
+    Averages `params` (or `ema_params` with use_ema) leaf-wise across the
+    given `step=N` directories; batch_stats/constants and all metadata come
+    from the newest checkpoint. The optimizer state is NOT averaged (an
+    averaged checkpoint is a serving artifact; resuming training from it
+    restarts the optimizer). No reference equivalent — feature beyond the
+    reference."""
+    if not ckpt_paths:
+        raise CheckpointError("average_checkpoints: no checkpoints given")
+    ckpt_paths = [Path(p) for p in ckpt_paths]
+    metas, trees = [], []
+    key = "ema_params" if use_ema else "params"
+    for p in ckpt_paths:
+        meta, arrays = load_checkpoint(p)
+        if use_ema and arrays.get("ema_params") is None:
+            raise CheckpointError(f"{p} has no ema_params (trained without ema_decay)")
+        metas.append((meta, arrays))
+        trees.append(arrays[key])
+    ref_struct = jax.tree_util.tree_structure(trees[0])
+    for p, t in zip(ckpt_paths[1:], trees[1:]):
+        if jax.tree_util.tree_structure(t) != ref_struct:
+            raise CheckpointError(
+                f"{p} has a different parameter structure; cannot average"
+            )
+    n = float(len(trees))
+    avg = jax.tree_util.tree_map(
+        lambda *leaves: sum(np.asarray(x, dtype=np.float64) for x in leaves).astype(
+            np.asarray(leaves[0]).dtype
+        )
+        / n
+        if np.issubdtype(np.asarray(leaves[0]).dtype, np.floating)
+        else leaves[0],
+        *trees,
+    )
+    newest_meta, newest_arrays = max(metas, key=lambda m: m[0]["global_step"])
+
+    out_path = Path(out_path)
+    if out_path.exists():
+        shutil.rmtree(out_path)
+    out_path.mkdir(parents=True)
+    out_arrays = {"params": avg, "opt_state": newest_arrays["opt_state"]}
+    for k in ("batch_stats", "constants"):
+        if newest_arrays.get(k) is not None:
+            out_arrays[k] = newest_arrays[k]
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save((out_path / "arrays").resolve(), out_arrays)
+    ckptr.wait_until_finished()
+    meta = dict(newest_meta)
+    meta["metrics"] = {}
+    meta["averaged_from"] = [str(p) for p in ckpt_paths]
+    with open(out_path / "meta.json", "w", encoding="utf8") as f:
+        json.dump(meta, f, indent=2)
+    return out_path
 
 
 def load_checkpoint(

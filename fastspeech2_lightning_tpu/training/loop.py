@@ -13,6 +13,7 @@ from pathlib import Path
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import FastSpeech2Config
@@ -202,13 +203,20 @@ class Trainer:
                 template["batch_stats"] = state.batch_stats
             if state.constants is not None:
                 template["constants"] = state.constants
+            if state.ema_params is not None:
+                template["ema_params"] = state.ema_params
             meta, arrays = load_checkpoint(
                 start_path, self.text_processor.symbols, template=template
             )
+            ema = arrays.get("ema_params", state.ema_params)
+            if state.ema_params is not None and arrays.get("ema_params") is None:
+                # resumed with ema_decay newly enabled: seed from the params
+                ema = jax.tree_util.tree_map(jnp.array, arrays["params"])
             state = state.replace(
                 params=arrays["params"],
                 opt_state=arrays["opt_state"],
                 batch_stats=arrays.get("batch_stats", state.batch_stats),
+                ema_params=ema,
                 step=meta["global_step"],
             )
 

@@ -33,15 +33,36 @@ def noam_schedule(base_lr: float, warmup_steps: int):
 
 
 class TrainState(train_state.TrainState):
-    """TrainState carrying mutable batch statistics (PostNet/GST batch norm)."""
+    """TrainState carrying mutable batch statistics (PostNet/GST batch norm)
+    and an optional exponential-moving-average shadow of the params."""
 
     batch_stats: Any = None
     constants: Any = struct.field(pytree_node=True, default=None)
+    ema_params: Any = None
+
+
+def freeze_mask(params, frozen: list[str]):
+    """Boolean pytree marking every leaf under a frozen top-level subtree.
+
+    `frozen` names top-level keys of the param dict (module names like
+    'encoder', 'text_input_layer'). Unknown names raise so a typo can't
+    silently fine-tune what was meant to stay fixed."""
+    frozen_set = set(frozen)
+    unknown = frozen_set - set(params.keys())
+    if unknown:
+        raise ValueError(
+            f"freeze_components {sorted(unknown)} not found among model "
+            f"parameter subtrees {sorted(params.keys())}"
+        )
+    return {
+        k: jax.tree_util.tree_map(lambda _: k in frozen_set, v)
+        for k, v in params.items()
+    }
 
 
 def make_optimizer(config: FastSpeech2Config) -> optax.GradientTransformation:
     opt = config.training.optimizer
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(config.training.gradient_clip_val),
         optax.adamw(
             learning_rate=noam_schedule(opt.learning_rate, opt.warmup_steps),
@@ -51,6 +72,15 @@ def make_optimizer(config: FastSpeech2Config) -> optax.GradientTransformation:
             weight_decay=opt.weight_decay,
         ),
     )
+    frozen = config.training.freeze_components
+    if frozen:
+        tx = optax.chain(
+            tx,
+            optax.masked(
+                optax.set_to_zero(), lambda params: freeze_mask(params, frozen)
+            ),
+        )
+    return tx
 
 
 def create_train_state(
@@ -61,10 +91,15 @@ def create_train_state(
         example_batch,
         deterministic=True,
     )
+    params = variables["params"]
+    ema = None
+    if config.training.ema_decay > 0:
+        ema = jax.tree_util.tree_map(jnp.array, params)
     return TrainState.create(
         apply_fn=model.apply,
-        params=variables["params"],
+        params=params,
         tx=make_optimizer(config),
         batch_stats=variables.get("batch_stats"),
         constants=variables.get("constants"),
+        ema_params=ema,
     )

@@ -53,6 +53,15 @@ def make_train_step(config: FastSpeech2Config, model):
         new_state = state.apply_gradients(grads=grads)
         if state.batch_stats is not None:
             new_state = new_state.replace(batch_stats=updated["batch_stats"])
+        if state.ema_params is not None:
+            decay = config.training.ema_decay
+            new_state = new_state.replace(
+                ema_params=jax.tree_util.tree_map(
+                    lambda e, p: decay * e + (1.0 - decay) * p,
+                    state.ema_params,
+                    new_state.params,
+                )
+            )
         losses["grad_norm"] = jnp.sqrt(
             sum(jnp.sum(g * g) for g in jax.tree_util.tree_leaves(grads))
         )

@@ -126,3 +126,62 @@ def test_prune_checkpoints_keeps_topk_and_latest(tmp_path):
     # best two (steps 2, 4) + latest (step 5)
     assert kept == ["step=2", "step=4", "step=5"]
     assert latest_checkpoint(tmp_path).name == "step=5"
+
+
+def test_average_checkpoints_and_use_ema(tmp_path):
+    from fastspeech2_lightning_tpu.training.checkpoint import (
+        average_checkpoints,
+    )
+
+    cfg = tiny_config()
+    cfg.training.ema_decay = 0.9
+    model, state, batch = make_state(cfg)
+    assert state.ema_params is not None
+
+    # two checkpoints with different params: p and 3p -> average must be 2p
+    symbols = ["\x80", " ", "a", "b"]
+    p1 = save_checkpoint(
+        tmp_path, state, cfg, tiny_stats(), {"d": 0}, {"d": 0}, symbols
+    )
+    tripled = jax.tree_util.tree_map(lambda x: x * 3.0, state.params)
+    state2 = state.replace(params=tripled, step=state.step + 1)
+    p2 = save_checkpoint(
+        tmp_path, state2, cfg, tiny_stats(), {"d": 0}, {"d": 0}, symbols
+    )
+
+    out = average_checkpoints([p1, p2], tmp_path / "avg")
+    meta, arrays = load_checkpoint(out)
+    want = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda x: np.asarray(x) * 2.0, state.params)
+    )
+    got = jax.tree_util.tree_leaves(arrays["params"])
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(w, np.asarray(g), rtol=1e-6)
+    assert meta["averaged_from"] == [str(p1), str(p2)]
+
+    # ema_params land in the checkpoint and can be served via use_ema
+    _, arrays1 = load_checkpoint(p1)
+    assert arrays1.get("ema_params") is not None
+    from fastspeech2_lightning_tpu.synthesis.synthesize import (
+        load_model_from_checkpoint,
+    )
+    _m, variables, *_ = load_model_from_checkpoint(p1, use_ema=True)
+    ema_leaves = jax.tree_util.tree_leaves(arrays1["ema_params"])
+    var_leaves = jax.tree_util.tree_leaves(variables["params"])
+    for a, b in zip(ema_leaves, var_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_average_checkpoints_requires_ema_when_asked(tmp_path):
+    from fastspeech2_lightning_tpu.training.checkpoint import (
+        CheckpointError,
+        average_checkpoints,
+    )
+
+    cfg = tiny_config()
+    model, state, batch = make_state(cfg)
+    p1 = save_checkpoint(
+        tmp_path, state, cfg, tiny_stats(), {"d": 0}, {"d": 0}, ["\x80"]
+    )
+    with pytest.raises(CheckpointError, match="no ema_params"):
+        average_checkpoints([p1], tmp_path / "avg", use_ema=True)

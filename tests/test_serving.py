@@ -1,0 +1,127 @@
+"""Streaming synthesis server: health, wav chunked streaming, mel format,
+cross-request micro-batching, and error paths. The server is started on an
+ephemeral port with a stubbed model + vocoder (testing.py fixture kit)."""
+
+import json
+import struct
+import urllib.error
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import pytest
+
+from fastspeech2_lightning_tpu.serving.server import (
+    SynthesisServer,
+    pcm16,
+    wav_stream_header,
+)
+from fastspeech2_lightning_tpu.synthesis.api import Synthesizer
+from fastspeech2_lightning_tpu.testing import get_stubbed_model, get_stubbed_vocoder
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serving")
+    _model, ckpt = get_stubbed_model(root)
+    _voc, voc_path = get_stubbed_vocoder(root)
+    syn = Synthesizer.from_checkpoint(ckpt, vocoder_path=voc_path, max_frames=128)
+    srv = SynthesisServer(syn, host="127.0.0.1", port=0, max_batch=4,
+                          batch_window_ms=20.0, global_step=7)
+    srv.start()
+    yield srv
+    srv.shutdown()
+
+
+def _url(server, path):
+    host, port = server.address
+    return f"http://{host}:{port}{path}"
+
+
+def _post(server, payload, path="/synthesize"):
+    req = urllib.request.Request(
+        _url(server, path),
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    return urllib.request.urlopen(req, timeout=300)
+
+
+def test_health(server):
+    with urllib.request.urlopen(_url(server, "/health"), timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["status"] == "ok"
+    assert body["global_step"] == 7
+    assert body["has_vocoder"] is True
+    assert body["sample_rate"] == 22050
+
+
+def test_wav_streaming(server):
+    with _post(server, {"text": "hello world"}) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        data = r.read()
+    # RIFF streaming header + nonempty PCM16 payload
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    assert struct.unpack("<I", data[4:8])[0] == 0xFFFFFFFF
+    pcm = data[44:]
+    assert len(pcm) > 0 and len(pcm) % 2 == 0
+    samples = np.frombuffer(pcm, dtype="<i2")
+    assert np.abs(samples).max() <= 32767
+
+
+def test_mel_format(server):
+    with _post(server, {"text": "hello world", "format": "mel"}) as r:
+        chunks = int(r.headers["X-Chunks"])
+        buf = r.read()
+    import io
+
+    mel = np.load(io.BytesIO(buf))
+    assert chunks >= 1
+    assert mel.ndim == 2 and mel.shape[1] == 20 and mel.shape[0] > 0
+    assert mel.dtype == np.float32
+
+
+def test_long_text_is_chunked_and_reassembled(server):
+    long_text = ". ".join(["the quick brown fox jumps over the lazy dog"] * 6)
+    with _post(server, {"text": long_text}) as r:
+        chunks = int(r.headers["X-Chunks"])
+        data = r.read()
+    assert chunks > 1
+    assert len(data) > 44
+
+
+def test_concurrent_requests_microbatch(server):
+    def one(i):
+        with _post(server, {"text": f"concurrent request number {i}"}) as r:
+            return r.read()
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        outs = list(ex.map(one, range(4)))
+    assert all(len(o) > 44 for o in outs)
+
+
+def test_error_paths(server):
+    # unknown path
+    try:
+        _post(server, {"text": "x"}, path="/nope")
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 404
+    assert raised
+    # missing text
+    try:
+        _post(server, {})
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 400
+    assert raised
+
+
+def test_pcm16_and_header_helpers():
+    hdr = wav_stream_header(16000)
+    assert len(hdr) == 44
+    assert struct.unpack("<I", hdr[24:28])[0] == 16000
+    pcm = pcm16(np.array([0.0, 1.0, -1.0, 2.0]))
+    vals = np.frombuffer(pcm, dtype="<i2")
+    np.testing.assert_array_equal(vals, [0, 32767, -32767, 32767])

@@ -149,3 +149,65 @@ def test_early_stopping_halts_training(tmp_path):
     # batch-norm running statistics drift it briefly — and training must
     # stop well before max_steps
     assert int(state.step) < 40
+
+
+def test_ema_params_follow_update_rule():
+    """ema' = d*ema + (1-d)*params' after each optimizer step."""
+    cfg = tiny_config(learn_alignment=False)
+    cfg.training.ema_decay = 0.5  # large 1-d so drift is visible
+    model = FastSpeech2(
+        config=cfg, stats=tiny_stats(), n_symbols=30, n_speakers=1, n_languages=1
+    )
+    rng = np.random.default_rng(2)
+    batch = synthetic_batch(rng, B=2, L=8, T=32, learn_alignment=False)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
+    assert state.ema_params is not None
+    ema0 = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.ema_params)]
+    p0 = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)]
+    for a, b in zip(ema0, p0):
+        np.testing.assert_array_equal(a, b)  # initialized to params
+
+    train_step = make_train_step(cfg, model)
+    state, _ = train_step(state, batch, jax.random.PRNGKey(0), 0)
+    p1 = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)]
+    ema1 = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.ema_params)]
+    for e1, e0, p in zip(ema1, ema0, p1):
+        np.testing.assert_allclose(e1, 0.5 * e0 + 0.5 * p, rtol=1e-5, atol=1e-7)
+
+
+def test_freeze_components_pins_subtree():
+    cfg = tiny_config(learn_alignment=False)
+    cfg.training.freeze_components = ["encoder"]
+    model = FastSpeech2(
+        config=cfg, stats=tiny_stats(), n_symbols=30, n_speakers=1, n_languages=1
+    )
+    rng = np.random.default_rng(3)
+    batch = synthetic_batch(rng, B=2, L=8, T=32, learn_alignment=False)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
+    frozen_before = jax.device_get(state.params["encoder"])
+    thawed_before = jax.device_get(state.params["mel_linear"])
+    train_step = make_train_step(cfg, model)
+    for _ in range(3):
+        state, _ = train_step(state, batch, jax.random.PRNGKey(0), 0)
+    frozen_after = jax.device_get(state.params["encoder"])
+    thawed_after = jax.device_get(state.params["mel_linear"])
+    for a, b in zip(
+        jax.tree_util.tree_leaves(frozen_before),
+        jax.tree_util.tree_leaves(frozen_after),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    moved = max(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(
+            jax.tree_util.tree_leaves(thawed_before),
+            jax.tree_util.tree_leaves(thawed_after),
+        )
+    )
+    assert moved > 0
+
+
+def test_freeze_components_unknown_name_raises():
+    from fastspeech2_lightning_tpu.training.state import freeze_mask
+
+    with pytest.raises(ValueError, match="not found"):
+        freeze_mask({"encoder": {"w": np.zeros(2)}}, ["enc0der"])
