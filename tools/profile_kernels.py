@@ -1,0 +1,136 @@
+"""Capture a jax.profiler trace of the hot training-path kernels and print a
+per-op on-device time summary (aggregated from the trace's XLA-op events).
+
+Usage: python tools/profile_kernels.py [mas|ctc|train|all] [--dir DIR]
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+B, T, L = 8, 1024, 128
+
+
+def run_mas(reps=20):
+    from fastspeech2_lightning_tpu.ops.mas_pallas import mas_width1_pallas
+
+    rng = np.random.default_rng(0)
+    la = jnp.asarray(rng.standard_normal((B, T, L)).astype(np.float32))
+    in_lens = jnp.full((B,), L, jnp.int32)
+    out_lens = jnp.full((B,), T, jnp.int32)
+
+    @jax.jit
+    def step(la):
+        hard = mas_width1_pallas(la, in_lens, out_lens)
+        return la + jnp.sum(hard[:, :1, :1]) * 1e-12
+
+    x = step(la)
+    np.asarray(x[0, 0, 0])
+    for _ in range(reps):
+        x = step(x)
+    np.asarray(x[0, 0, 0])
+
+
+def run_ctc(reps=20):
+    from fastspeech2_lightning_tpu.ops.ctc import ctc_forward_sum
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((B, T, L + 1)).astype(np.float32))
+    in_lens = jnp.full((B,), L, jnp.int32)
+    out_lens = jnp.full((B,), T, jnp.int32)
+
+    def loss(logits):
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        return jnp.mean(ctc_forward_sum(lp, in_lens, out_lens))
+
+    g = jax.grad(loss)
+
+    @jax.jit
+    def step(logits):
+        return logits + g(logits) * 1e-12
+
+    x = step(logits)
+    np.asarray(x[0, 0, 0])
+    for _ in range(reps):
+        x = step(x)
+    np.asarray(x[0, 0, 0])
+
+
+def run_train(reps=10):
+    from __graft_entry__ import _flagship_config, _make_model, _train_batch
+    from fastspeech2_lightning_tpu.training.state import create_train_state
+    from fastspeech2_lightning_tpu.training.step import make_train_step
+
+    config = _flagship_config()
+    model = _make_model(config)
+    batch = _train_batch(np.random.default_rng(0), B, L, T, 80)
+    batch = {k: jax.device_put(v) for k, v in batch.items()}
+    state = create_train_state(config, model, jax.random.PRNGKey(0), batch)
+    train_step = make_train_step(config, model)
+    rng = jax.random.PRNGKey(1)
+
+    state, _ = train_step(state, batch, rng, 0)
+    np.asarray(state.step)
+    for _ in range(reps):
+        state, _ = train_step(state, batch, rng, 0)
+    np.asarray(state.step)
+
+
+def summarize(trace_dir: Path, top: int = 25):
+    files = glob.glob(str(trace_dir / "**" / "*.trace.json.gz"), recursive=True)
+    if not files:
+        print("no trace json found under", trace_dir)
+        return
+    with gzip.open(max(files, key=lambda f: Path(f).stat().st_mtime)) as f:
+        trace = json.load(f)
+    dur = defaultdict(float)
+    cnt = defaultdict(int)
+    pid_names = {}
+    for e in trace.get("traceEvents", []):
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e.get("pid")] = e.get("args", {}).get("name", "")
+    device_pids = {
+        p for p, n in pid_names.items()
+        if "TPU" in n or "/device" in n or "Chip" in n or "XLA" in n
+    }
+    for e in trace.get("traceEvents", []):
+        if e.get("ph") != "X":
+            continue
+        if device_pids and e.get("pid") not in device_pids:
+            continue
+        name = e.get("name", "?")
+        dur[name] += e.get("dur", 0)
+        cnt[name] += 1
+    total = sum(dur.values())
+    print(f"\n== on-device op time (total {total / 1e3:.2f} ms across reps) ==")
+    for name, d in sorted(dur.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{d / 1e3:9.3f} ms  x{cnt[name]:<5} {name[:110]}")
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    out = Path(sys.argv[sys.argv.index("--dir") + 1]) if "--dir" in sys.argv else Path("/tmp/prof_" + which)
+    runners = {"mas": run_mas, "ctc": run_ctc, "train": run_train}
+    todo = list(runners) if which == "all" else [which]
+    for name in todo:
+        d = Path(str(out) + "_" + name) if which == "all" else out
+        with jax.profiler.trace(str(d)):
+            runners[name]()
+        print(f"\n######## {name} ########")
+        summarize(d)
+
+
+if __name__ == "__main__":
+    main()
