@@ -89,6 +89,45 @@ def time_chained(
     return times
 
 
+def time_pipelined(
+    jf_scalar,
+    variables,
+    staged_batches: list[dict],
+    *,
+    reps: int,
+    trials: int = 5,
+    warmup: int = 5,
+) -> list[float]:
+    """Throughput timing: issue ``reps`` independent calls (cycling over the
+    pre-staged device-resident batches), then force completion of EVERY call
+    with one device->host fetch of a scalar that sums all per-call summaries.
+
+    ``jf_scalar(variables, batch)`` must return a scalar derived from the
+    call's full output (so no call can be elided). Unlike ``time_chained``,
+    calls carry no data dependency on each other, so host dispatch overlaps
+    device execution — this measures sustained serving throughput; the
+    chained number is per-call latency. The final fetch depends on all
+    ``reps`` outputs, so the device really executed every call before the
+    clock stops.
+    """
+    import jax.numpy as jnp
+
+    n = len(staged_batches)
+    outs = [jf_scalar(variables, staged_batches[i % n]) for i in range(warmup)]
+    np.asarray(sum(outs))  # compile + warmup, forced
+
+    times = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        outs = [
+            jf_scalar(variables, staged_batches[i % n]) for i in range(reps)
+        ]
+        total = float(np.asarray(jnp.sum(jnp.stack(outs))))
+        times.append(time.perf_counter() - t0)
+        assert np.isfinite(total), "non-finite output in timed pipeline"
+    return times
+
+
 def check_mfu(flops_per_call: float, sec_per_call: float) -> float:
     """Return implied MFU; raise if it exceeds 100% (impossible => broken)."""
     if flops_per_call <= 0 or sec_per_call <= 0:
