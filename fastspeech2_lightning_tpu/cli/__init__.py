@@ -230,6 +230,10 @@ def synthesize(
         text_representation=DatasetTextRepresentation(text_representation),
         duration_control=duration_control,
         style_reference=style_reference,
+        # Teacher forcing pairs each utterance with its full preprocessed
+        # target mel — chunking the text would misalign chunk durations with
+        # whole-utterance targets, so it is forced off here.
+        split_text=False if teacher_forcing_directory is not None else None,
     )
     writers = get_synthesis_output_writers(
         output_type, Path(output_dir), config,

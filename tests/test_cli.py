@@ -153,6 +153,46 @@ def test_end_to_end(corpus_dir):
     assert list((out_dir / "textgrids").glob("*.TextGrid"))
     assert list((out_dir / "readalongs").glob("*.readalong"))
 
+    # 3b. teacher-forced synthesis: target specs/variances come from the
+    # preprocessed --teacher-forcing-directory; chunking is forced off and
+    # the output length is pinned to the target mel length
+    # (fs2/cli/synthesize.py:434-442 semantics)
+    import csv
+
+    train_rows = list(
+        csv.DictReader(
+            (save_dir / "training_filelist.psv").open(), delimiter="|"
+        )
+    )
+    tf_base = train_rows[0]["basename"]
+    tf_filelist = corpus_dir / "tf_filelist.psv"
+    with tf_filelist.open("w") as f:
+        w = csv.DictWriter(f, fieldnames=train_rows[0].keys(), delimiter="|")
+        w.writeheader()
+        w.writerow(train_rows[0])
+    gt_spec_path = (
+        save_dir / "spec"
+        / f"{tf_base}--default--default--spec-{SR}-mel-librosa.npy"
+    )
+    assert gt_spec_path.exists(), list((save_dir / "spec").glob("*"))
+    gt_frames = np.load(gt_spec_path).shape[1]  # artifact is [n_mels, T]
+    tf_out = corpus_dir / "tf_output"
+    result = runner.invoke(
+        app,
+        [
+            "synthesize", str(ckpt),
+            "--filelist", str(tf_filelist),
+            "--teacher-forcing-directory", str(save_dir),
+            "-O", "spec",
+            "-o", str(tf_out),
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    tf_specs = list((tf_out / "synthesized_spec").glob("*.npy"))
+    assert len(tf_specs) == 1
+    assert np.load(tf_specs[0]).shape == (20, gt_frames)
+
     # 4. check-data with model scoring
     result = runner.invoke(
         app,
