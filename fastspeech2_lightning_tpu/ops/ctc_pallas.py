@@ -28,6 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e15
 CHUNK = 128
+BLK = 16  # rows per blocked VMEM load/store inside a chunk (divides CHUNK)
 
 
 def _make_kernel(chunk: int, left: bool, add_emis_first: bool):
@@ -62,11 +63,11 @@ def _make_kernel(chunk: int, left: bool, add_emis_first: bool):
             )
             return jnp.where(m > 0.5 * NEG_INF, out, NEG_INF)
 
-        def step(k, prev):
+        def step(emis_row, prev):
             if add_emis_first:
                 w = prev
             else:
-                w = prev + emis_ref[k]
+                w = prev + emis_row
             if left:
                 s1 = pltpu.roll(w, S - 1, 1)
                 s1 = jnp.where(lane == S - 1, NEG_INF, s1)
@@ -80,11 +81,23 @@ def _make_kernel(chunk: int, left: bool, add_emis_first: bool):
             s2 = jnp.where(odd, s2, NEG_INF)  # skip lane: odd destinations only
             row = lse3(w, s1, s2)
             if add_emis_first:
-                row = jnp.maximum(row + emis_ref[k], NEG_INF)
-            out_ref[k] = row
+                row = jnp.maximum(row + emis_row, NEG_INF)
             return row
 
-        carry[:] = jax.lax.fori_loop(0, C, step, carry[:])
+        # rows go through ONE dynamic-indexed VMEM load + ONE store per BLK
+        # block; per-row dynamic indexing leaves the loop bookkeeping, not
+        # the lse math, as the bottleneck (same finding as ops/mas_pallas.py)
+        def blk_step(kb, prev):
+            base = kb * BLK
+            emis_blk = emis_ref[pl.ds(base, BLK)]  # [BLK, B, S]
+            rows = []
+            for j in range(BLK):
+                prev = step(emis_blk[j], prev)
+                rows.append(prev)
+            out_ref[pl.ds(base, BLK)] = jnp.stack(rows)
+            return prev
+
+        carry[:] = jax.lax.fori_loop(0, C // BLK, blk_step, carry[:])
 
     return kernel
 

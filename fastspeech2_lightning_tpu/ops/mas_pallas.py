@@ -26,12 +26,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
+UNROLL = 32  # DP rows per blocked load/store
 
 
 def _mas_kernel(la_ref, h_init_ref, out_lens_ref, work_ref):
     """la: [T, B, L] masked log-attention; h_init: [B, L] one-hot of
     in_len-1; out_lens: [B, 1] int32; work (output): [T, B, L] — DP table
-    during the forward pass, one-hot hard alignment on exit."""
+    during the forward pass, one-hot hard alignment on exit.
+
+    Each DP row is one (B, L) vector op, so the loop bookkeeping — not the
+    math — sets the kernel's speed. Rows are therefore processed in blocks
+    of UNROLL with ONE dynamic-indexed VMEM load and ONE store per block
+    (per-row dynamic indexing measured ~3x slower end to end)."""
     T, B, L = la_ref.shape
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (B, L), dimension=1)
 
@@ -39,46 +45,46 @@ def _mas_kernel(la_ref, h_init_ref, out_lens_ref, work_ref):
     row0 = la_ref[0] + jnp.where(lane_ids == 0, 0.0, NEG_INF)
     work_ref[0] = row0
 
-    def fwd_one(i, row):
-        shifted = pltpu.roll(row, 1, 1)
-        shifted = jnp.where(lane_ids == 0, NEG_INF, shifted)
-        new_row = la_ref[i] + jnp.maximum(row, shifted)
-        new_row = jnp.maximum(new_row, NEG_INF)
-        work_ref[i] = new_row
-        return new_row
-
-    # manual 4x unroll: the per-row vector work is tiny, so the Mosaic loop
-    # bookkeeping dominates without it; the wrapper pads T so T-1 % 4 == 0
-    def fwd4(k, row):
-        base = 1 + k * 4
-        for j in range(4):
-            row = fwd_one(base + j, row)
+    def fwd_blk(k, row):
+        base = 1 + k * UNROLL
+        la_blk = la_ref[pl.ds(base, UNROLL)]  # [UNROLL, B, L]
+        rows = []
+        for j in range(UNROLL):
+            shifted = pltpu.roll(row, 1, 1)
+            shifted = jnp.where(lane_ids == 0, NEG_INF, shifted)
+            row = la_blk[j] + jnp.maximum(row, shifted)
+            row = jnp.maximum(row, NEG_INF)
+            rows.append(row)
+        work_ref[pl.ds(base, UNROLL)] = jnp.stack(rows)
         return row
 
-    jax.lax.fori_loop(0, (T - 1) // 4, fwd4, row0)
+    jax.lax.fori_loop(0, (T - 1) // UNROLL, fwd_blk, row0)
 
     # ---- backtrack (overwrites work rows top-down) ----
     out_lens = out_lens_ref[:]  # [B, 1] int32
 
-    def bwd_one(i, h):
-        active = (i < out_lens).astype(jnp.float32)  # [B, 1]
-        prev = work_ref[i - 1]
-        stay = jnp.sum(prev * h, axis=1, keepdims=True)
-        h_left = pltpu.roll(h, L - 1, 1)  # circular left-by-1 (shift must be >= 0)
-        h_left = jnp.where(lane_ids == L - 1, 0.0, h_left)
-        left = jnp.sum(prev * h_left, axis=1, keepdims=True)
-        at_zero = h[:, :1]
-        work_ref[i] = h * active
-        dec = (active > 0.5) & (left >= stay) & (at_zero < 0.5)
-        return jnp.where(dec, h_left, h)
-
-    def bwd4(k, h):
-        base = T - 1 - k * 4
-        for j in range(4):
-            h = bwd_one(base - j, h)
+    def bwd_blk(k, h):
+        base = T - 1 - k * UNROLL
+        # rows base-UNROLL .. base-1, read before the overlapping writes
+        prev_blk = work_ref[pl.ds(base - UNROLL, UNROLL)]
+        outs = []
+        for j in range(UNROLL):
+            i = base - j
+            active = (i < out_lens).astype(jnp.float32)  # [B, 1]
+            prev = prev_blk[UNROLL - 1 - j]  # DP row i-1
+            stay = jnp.sum(prev * h, axis=1, keepdims=True)
+            h_left = pltpu.roll(h, L - 1, 1)  # circular left-by-1
+            h_left = jnp.where(lane_ids == L - 1, 0.0, h_left)
+            left = jnp.sum(prev * h_left, axis=1, keepdims=True)
+            at_zero = h[:, :1]
+            outs.append(h * active)  # hard-alignment row i
+            dec = (active > 0.5) & (left >= stay) & (at_zero < 0.5)
+            h = jnp.where(dec, h_left, h)
+        # outs[j] is row base-j -> stack ascending rows base-UNROLL+1 .. base
+        work_ref[pl.ds(base - UNROLL + 1, UNROLL)] = jnp.stack(outs[::-1])
         return h
 
-    h = jax.lax.fori_loop(0, (T - 1) // 4, bwd4, h_init_ref[:])
+    h = jax.lax.fori_loop(0, (T - 1) // UNROLL, bwd_blk, h_init_ref[:])
     work_ref[0] = h * (0 < out_lens).astype(jnp.float32)
 
 
@@ -91,9 +97,9 @@ def mas_width1_pallas(
 ):
     """[B, T, L] hard alignment via the Pallas kernel (pre-masked input)."""
     B, T, L = log_attn.shape
-    # pad T so the kernel's 4x-unrolled loops cover exactly T-1 rows; padded
+    # pad T so the kernel's blocked loops cover exactly T-1 rows; padded
     # rows sit beyond every out_len (forward junk, backtrack inactive)
-    T_pad = T + ((-(T - 1)) % 4)
+    T_pad = T + ((-(T - 1)) % UNROLL)
     la_btl = log_attn.astype(jnp.float32)
     if T_pad != T:
         la_btl = jnp.concatenate(

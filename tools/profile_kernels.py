@@ -98,17 +98,34 @@ def summarize(trace_dir: Path, top: int = 25):
     dur = defaultdict(float)
     cnt = defaultdict(int)
     pid_names = {}
+    tid_names = {}
     for e in trace.get("traceEvents", []):
-        if e.get("ph") == "M" and e.get("name") == "process_name":
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name":
             pid_names[e.get("pid")] = e.get("args", {}).get("name", "")
+        elif e.get("name") == "thread_name":
+            tid_names[(e.get("pid"), e.get("tid"))] = e.get("args", {}).get(
+                "name", ""
+            )
     device_pids = {
         p for p, n in pid_names.items()
         if "TPU" in n or "/device" in n or "Chip" in n or "XLA" in n
     }
+    # device traces carry per-op events on threads named "XLA Ops"; prefer
+    # those so host-side compile/runtime events don't pollute the totals
+    op_tids = {
+        k for k, n in tid_names.items()
+        if "XLA Ops" in n or "XLA TPU Ops" in n
+    }
     for e in trace.get("traceEvents", []):
         if e.get("ph") != "X":
             continue
-        if device_pids and e.get("pid") not in device_pids:
+        key = (e.get("pid"), e.get("tid"))
+        if op_tids:
+            if key not in op_tids:
+                continue
+        elif device_pids and e.get("pid") not in device_pids:
             continue
         name = e.get("name", "?")
         dur[name] += e.get("dur", 0)
