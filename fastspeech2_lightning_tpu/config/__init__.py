@@ -191,6 +191,17 @@ class ConformerConfig(ConfigModel):
     feedforward_dim: int = Field(default=1024, description="FFN width.")
     conv_kernel_size: int = Field(default=9, description="Depthwise conv kernel.")
     dropout: float = Field(default=0.2, description="Dropout rate.")
+    attention_dropout: Optional[float] = Field(
+        default=None,
+        description=(
+            "Dropout on the attention probabilities. None (default) follows "
+            "`dropout` — the reference's torchaudio-Conformer behavior "
+            "(fs2/model.py:95-119). Setting 0.0 keeps every other dropout "
+            "but lets TRAINING use the flash-attention kernel, which avoids "
+            "materializing the [B, heads, T, T] score tensor (measured ~3x "
+            "faster train step at B=32/T=1024 on TPU v5e)."
+        ),
+    )
 
 
 class VariancePredictorBase(ConfigModel):

@@ -85,6 +85,7 @@ class SelfAttentionModule(nn.Module):
     num_heads: int
     dropout: float
     dtype: Any = jnp.float32
+    attention_dropout: float = -1.0  # -1 -> follow `dropout`
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool):
@@ -92,6 +93,9 @@ class SelfAttentionModule(nn.Module):
         B, T, d = x.shape
         h = self.num_heads
         dh = d // h
+        attn_drop = (
+            self.dropout if self.attention_dropout < 0 else self.attention_dropout
+        )
         x = nn.LayerNorm(name="norm", dtype=self.dtype)(x)
         qkv = nn.Dense(3 * d, name="qkv", dtype=self.dtype)(x)  # fused projection
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -106,7 +110,7 @@ class SelfAttentionModule(nn.Module):
         # Padding is carried as segment ids (valid=1, pad=0) so valid queries
         # attend only to valid keys.
         use_flash = (
-            deterministic or self.dropout == 0.0
+            deterministic or attn_drop == 0.0
         ) and _flash_attention_available(T, dh)
         if use_flash:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -142,7 +146,7 @@ class SelfAttentionModule(nn.Module):
             ) / jnp.sqrt(dh)
             bias = jnp.where(mask[:, None, None, :], 0.0, -1e9)
             weights = nn.softmax(scores + bias, axis=-1).astype(self.dtype)
-            weights = nn.Dropout(self.dropout, deterministic=deterministic)(
+            weights = nn.Dropout(attn_drop, deterministic=deterministic)(
                 weights
             )
             out = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(B, T, d)
@@ -186,6 +190,7 @@ class ConformerLayer(nn.Module):
     conv_kernel_size: int
     dropout: float
     dtype: Any = jnp.float32
+    attention_dropout: float = -1.0
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
@@ -194,7 +199,8 @@ class ConformerLayer(nn.Module):
             self.ffn_dim, self.dropout, dtype=dt, name="ffn1"
         )(x, deterministic)
         x = x + SelfAttentionModule(
-            self.num_heads, self.dropout, dtype=dt, name="attn"
+            self.num_heads, self.dropout, dtype=dt, name="attn",
+            attention_dropout=self.attention_dropout,
         )(x, mask, deterministic)
         x = x + ConvolutionModule(
             self.conv_kernel_size, self.dropout, dtype=dt, name="conv"
@@ -215,6 +221,7 @@ class Conformer(nn.Module):
     conv_kernel_size: int
     dropout: float
     dtype: Any = jnp.float32
+    attention_dropout: float = -1.0
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
@@ -226,6 +233,7 @@ class Conformer(nn.Module):
                 conv_kernel_size=self.conv_kernel_size,
                 dropout=self.dropout,
                 dtype=self.dtype,
+                attention_dropout=self.attention_dropout,
                 name=f"layer_{i}",
             )(x, mask, deterministic)
         return x * mask[:, :, None].astype(x.dtype)

@@ -67,6 +67,10 @@ class FastSpeech2(nn.Module):
             ffn_dim=mcfg.encoder.feedforward_dim,
             conv_kernel_size=mcfg.encoder.conv_kernel_size,
             dropout=mcfg.encoder.dropout,
+            attention_dropout=(
+                -1.0 if mcfg.encoder.attention_dropout is None
+                else mcfg.encoder.attention_dropout
+            ),
             dtype=dt,
             name="encoder",
         )
@@ -93,6 +97,10 @@ class FastSpeech2(nn.Module):
             ffn_dim=mcfg.decoder.feedforward_dim,
             conv_kernel_size=mcfg.decoder.conv_kernel_size,
             dropout=mcfg.decoder.dropout,
+            attention_dropout=(
+                -1.0 if mcfg.decoder.attention_dropout is None
+                else mcfg.decoder.attention_dropout
+            ),
             dtype=dt,
             name="decoder",
         )

@@ -122,7 +122,12 @@ def banded_lse_scan_pallas(
     """[B, T, S] recurrence outputs (alpha or beta rows, unpadded)."""
     B, T, S = emis.shape
     S_pad = max(128, -(-S // 128) * 128)
-    T_pad = -(-T // CHUNK) * CHUNK
+    # chunk sizing: in + out blocks are each double-buffered across grid
+    # steps, so ~5 chunk-blocks must fit the scoped-VMEM budget; shrink the
+    # chunk (to a BLK multiple) for wide batches instead of OOMing
+    budget = 48 << 20
+    chunk = min(CHUNK, max(BLK, (budget // (5 * B * S_pad * 4)) // BLK * BLK))
+    T_pad = -(-T // chunk) * chunk
     x = _pad_states(emis.astype(jnp.float32), S_pad)
     if T_pad != T:
         x = jnp.concatenate(
@@ -131,18 +136,21 @@ def banded_lse_scan_pallas(
     x = jnp.swapaxes(x, 0, 1)  # [T_pad, B, S_pad]
 
     out = pl.pallas_call(
-        _make_kernel(CHUNK, left, add_emis_first),
-        grid=(T_pad // CHUNK,),
+        _make_kernel(chunk, left, add_emis_first),
+        grid=(T_pad // chunk,),
         in_specs=[
             pl.BlockSpec(
-                (CHUNK, B, S_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (chunk, B, S_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             )
         ],
         out_specs=pl.BlockSpec(
-            (CHUNK, B, S_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (chunk, B, S_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((T_pad, B, S_pad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((B, S_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=5 * chunk * B * S_pad * 4 + (2 << 20),
+        ),
         interpret=interpret,
     )(x)
     return jnp.swapaxes(out[:T, :, :S], 0, 1)  # [B, T, S]

@@ -27,6 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
 UNROLL = 32  # DP rows per blocked load/store
+B_BLOCK = 8  # batch items per grid step (one DP table in VMEM at a time)
 
 
 def _mas_kernel(la_ref, h_init_ref, out_lens_ref, work_ref):
@@ -95,7 +96,10 @@ def mas_width1_pallas(
     out_lens: jnp.ndarray,
     interpret: bool = False,
 ):
-    """[B, T, L] hard alignment via the Pallas kernel (pre-masked input)."""
+    """[B, T, L] hard alignment via the Pallas kernel (pre-masked input).
+
+    Batches larger than B_BLOCK are processed as sequential grid steps of
+    B_BLOCK items each, so VMEM holds one block's DP table at a time."""
     B, T, L = log_attn.shape
     # pad T so the kernel's blocked loops cover exactly T-1 rows; padded
     # rows sit beyond every out_len (forward junk, backtrack inactive)
@@ -105,26 +109,56 @@ def mas_width1_pallas(
         la_btl = jnp.concatenate(
             [la_btl, jnp.full((B, T_pad - T, L), NEG_INF, jnp.float32)], axis=1
         )
-    la = jnp.swapaxes(la_btl, 0, 1)  # [T_pad, B, L]
+    # pad B to a block multiple; padded entries have out_len 0 (backtrack
+    # inactive, output row zeroed) and in_len 1 (valid one-hot seed)
+    B_pad = -(-B // B_BLOCK) * B_BLOCK
+    if B_pad != B:
+        la_btl = jnp.concatenate(
+            [
+                la_btl,
+                jnp.full((B_pad - B, T_pad, L), NEG_INF, jnp.float32),
+            ],
+            axis=0,
+        )
+        in_lens = jnp.concatenate(
+            [in_lens, jnp.ones((B_pad - B,), in_lens.dtype)]
+        )
+        out_lens = jnp.concatenate(
+            [out_lens, jnp.zeros((B_pad - B,), out_lens.dtype)]
+        )
+    la = jnp.swapaxes(la_btl, 0, 1)  # [T_pad, B_pad, L]
     h_init = jax.nn.one_hot(in_lens - 1, L, dtype=jnp.float32)
     out_lens_col = out_lens.astype(jnp.int32)[:, None]
 
     hard_tbl = pl.pallas_call(
         _mas_kernel,
-        out_shape=jax.ShapeDtypeStruct((T_pad, B, L), jnp.float32),
+        grid=(B_pad // B_BLOCK,),
+        out_shape=jax.ShapeDtypeStruct((T_pad, B_pad, L), jnp.float32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (T_pad, B_BLOCK, L), lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (B_BLOCK, L), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (B_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (T_pad, B_BLOCK, L), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(2.5 * T * B * L * 4) + (1 << 20),
+            # in + out blocks, each double-buffered across grid steps,
+            # plus slack for the carried row registers
+            vmem_limit_bytes=int(5 * T_pad * B_BLOCK * L * 4) + (2 << 20),
         ),
         interpret=interpret,
     )(la, h_init, out_lens_col)
-    return jnp.swapaxes(hard_tbl[:T], 0, 1)  # [B, T, L]
+    return jnp.swapaxes(hard_tbl[:T], 0, 1)[:B]  # [B, T, L]
 
 
 def fits_vmem(B: int, T: int, L: int, budget_bytes: int = 10 * 2**20) -> bool:
-    return 2 * T * B * L * 4 <= budget_bytes
+    """Per-grid-step VMEM check (one B_BLOCK-item DP table + emissions)."""
+    return 2 * T * min(B, B_BLOCK) * L * 4 <= budget_bytes
