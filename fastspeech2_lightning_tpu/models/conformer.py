@@ -70,6 +70,12 @@ class FeedForwardModule(nn.Module):
         return x
 
 
+def _attn_dropout_kernel_available(T: int, dh: int) -> bool:
+    from ..ops import attention_dropout as attn_do
+
+    return attn_do.supported(T, dh)
+
+
 def _flash_attention_available(T: int, dh: int) -> bool:
     """The Pallas TPU flash kernel wants seq len a multiple of its 128 block
     and head dims that are <=128 or 128-multiples; only the TPU backend
@@ -137,6 +143,31 @@ class SelfAttentionModule(nn.Module):
                 segment_ids=SegmentIds(q=seg, kv=seg),
                 sm_scale=float(1.0 / np.sqrt(dh)),
                 block_sizes=bs,
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B, T, d).astype(self.dtype)
+        elif (
+            not deterministic
+            and attn_drop > 0.0
+            and _attn_dropout_kernel_available(T, dh)
+        ):
+            # Training with attention-probability dropout: the Pallas kernel
+            # (ops/attention_dropout.py) draws the mask in-kernel from the
+            # TPU PRNG, so the [B, h, T, T] probabilities never reach HBM —
+            # the materialized einsum path below cost ~30% of the B=32
+            # train step's device time.
+            from ..ops import attention_dropout as attn_do
+
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (1,),
+                -(2 ** 31), 2 ** 31 - 1, jnp.int32,
+            )
+            key_bias = jnp.where(mask, 0.0, attn_do.NEG_INF)
+            out = attn_do.attention_with_dropout(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                key_bias, seed,
+                float(attn_drop), float(1.0 / np.sqrt(dh)),
             )
             out = out.transpose(0, 2, 1, 3).reshape(B, T, d).astype(self.dtype)
         else:

@@ -1,0 +1,203 @@
+"""Self-attention with in-kernel attention-probability dropout (Pallas TPU).
+
+Why: the conformer's reference semantics (torchaudio MultiheadAttention,
+consumed at /root/reference/fs2/model.py:95-119) apply dropout to the
+attention probabilities, which rules out the streaming flash kernel — so the
+training path materialized [B, heads, T, T] score tensors in HBM (~30% of
+the B=32 train step's device time). At this model's sizes the entire
+per-(batch, head) problem fits in VMEM (T <= ~2048, head_dim <= 256:
+S is T*T*4 bytes = 4 MB at T=1024), so no streaming softmax is needed:
+one grid step = one (batch, head) — full-row softmax, dropout mask drawn
+from the TPU PRNG inside the kernel, both matmuls on the MXU, and the
+probabilities never touch HBM.
+
+The backward kernel recomputes S and regenerates the SAME dropout mask from
+the same (seed, batch, head) PRNG stream, then forms dQ, dK, dV in one pass
+— probabilities never touch HBM there either.
+
+Semantics: O = dropout(softmax(sm_scale * Q K^T + bias)) @ V with inverted
+scaling (kept entries divided by 1-p), matching nn.Dropout on the weights of
+the einsum path (the DRAW differs — dropout is stochastic across
+implementations). p=0.0 is numerically the plain masked softmax attention.
+
+Used by models/conformer.py for TRAINING when the shape fits; the einsum
+path remains the fallback and golden reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _uniform_keep(shape, p: float):
+    """Boolean keep-mask drawn from the already-seeded in-kernel PRNG."""
+    bits = pltpu.prng_random_bits(shape)  # int32 bits
+    # uint32 threshold comparison: keep iff U32(bits) >= p * 2^32
+    thresh = jnp.uint32(min(int(p * (1 << 32)), (1 << 32) - 1))
+    return pltpu.bitcast(bits, jnp.uint32) >= thresh
+
+
+def _softmax_rows(s):
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=1, keepdims=True)
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, p, sm_scale):
+    b, h = pl.program_id(0), pl.program_id(1)
+    q = q_ref[0, 0]  # [T, dh]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * sm_scale + bias_ref[0, 0][None, :]  # key-side additive mask
+    prob = _softmax_rows(s)
+    if p > 0.0:
+        # hardware seed takes at most 2 words: fold (b, h) into one
+        pltpu.prng_seed(seed_ref[0], b * pl.num_programs(1) + h)
+        keep = _uniform_keep(prob.shape, p)
+        prob = jnp.where(keep, prob, 0.0) * (1.0 / (1.0 - p))
+    o_ref[0, 0] = jnp.dot(
+        prob.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _bwd_kernel(
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+    dq_ref, dk_ref, dv_ref, *, p, sm_scale,
+):
+    b, h = pl.program_id(0), pl.program_id(1)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * sm_scale + bias_ref[0, 0][None, :]
+    prob = _softmax_rows(s)
+    if p > 0.0:
+        # same stream as the forward pass
+        pltpu.prng_seed(seed_ref[0], b * pl.num_programs(1) + h)
+        keep = _uniform_keep(prob.shape, p)
+        probd = jnp.where(keep, prob, 0.0) * (1.0 / (1.0 - p))
+    else:
+        probd = prob
+    pd16 = probd.astype(do.dtype)
+    dv_ref[0, 0] = jax.lax.dot_general(
+        pd16, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    dpd = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if p > 0.0:
+        dprob = jnp.where(keep, dpd, 0.0) * (1.0 / (1.0 - p))
+    else:
+        dprob = dpd
+    ds = prob * (dprob - jnp.sum(dprob * prob, axis=1, keepdims=True))
+    ds = (ds * sm_scale).astype(q.dtype)
+    dq_ref[0, 0] = jnp.dot(
+        ds, k, preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+    dk_ref[0, 0] = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _specs(B, H, T, dh):
+    qkv = pl.BlockSpec(
+        (1, 1, T, dh), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+    )
+    bias = pl.BlockSpec(
+        (1, 1, T), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    return qkv, bias
+
+
+def _vmem_params(T):
+    # S + prob + mask (+ ds in bwd) in f32 plus tiles and slack
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=6 * T * T * 4 + (8 << 20),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def attention_with_dropout(q, k, v, key_bias, seed, p: float, sm_scale: float):
+    """O = dropout_p(softmax(sm_scale·QKᵀ + key_bias)) V.
+
+    q, k, v: [B, H, T, dh]; key_bias: [B, T] additive on the key axis
+    (0 valid / NEG_INF padded); seed: int32 scalar array.
+    """
+    return _attention_fwd_impl(q, k, v, key_bias, seed, p, sm_scale)
+
+
+def _attention_fwd_impl(q, k, v, key_bias, seed, p, sm_scale):
+    B, H, T, dh = q.shape
+    qkv_spec, bias_spec = _specs(B, H, T, dh)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, p=p, sm_scale=sm_scale),
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            qkv_spec, qkv_spec, qkv_spec, bias_spec,
+        ],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, T, dh), q.dtype),
+        compiler_params=_vmem_params(T),
+        interpret=_interpret(),
+    )(seed.reshape(1).astype(jnp.int32), q, k, v,
+      key_bias.astype(jnp.float32)[:, None, :])
+
+
+def _attention_fwd(q, k, v, key_bias, seed, p, sm_scale):
+    o = _attention_fwd_impl(q, k, v, key_bias, seed, p, sm_scale)
+    return o, (q, k, v, key_bias, seed)
+
+
+def _attention_bwd(p, sm_scale, res, do):
+    q, k, v, key_bias, seed = res
+    B, H, T, dh = q.shape
+    qkv_spec, bias_spec = _specs(B, H, T, dh)
+    shp = jax.ShapeDtypeStruct((B, H, T, dh), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, p=p, sm_scale=sm_scale),
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            qkv_spec, qkv_spec, qkv_spec, bias_spec, qkv_spec,
+        ],
+        out_specs=[qkv_spec, qkv_spec, qkv_spec],
+        out_shape=[shp, shp, shp],
+        compiler_params=_vmem_params(T),
+        interpret=_interpret(),
+    )(seed.reshape(1).astype(jnp.int32), q, k, v,
+      key_bias.astype(jnp.float32)[:, None, :], do)
+    import numpy as np
+
+    d_bias = jnp.zeros_like(key_bias)  # mask bias carries no useful gradient
+    d_seed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, d_bias, d_seed
+
+
+attention_with_dropout.defvjp(_attention_fwd, _attention_bwd)
+
+
+def supported(T: int, dh: int) -> bool:
+    """Full-VMEM (non-streaming) bound: S/prob/mask resident per (b, h)."""
+    if T % 128 != 0 or dh % 128 != 0:
+        return False
+    if 6 * T * T * 4 > 56 << 20:  # T <= ~1536
+        return False
+    return not _interpret()
