@@ -119,6 +119,13 @@ def train(config_file: Path, config_args, max_steps, resume, model_parallel, dis
     "--vocoder-path", "-v", type=click.Path(path_type=Path), default=None
 )
 @click.option(
+    "--vocoder-precision",
+    type=click.Choice(["float32", "bfloat16"]),
+    default="float32",
+    help="bfloat16 runs the vocoder convs ~1.3x faster on TPU "
+    "(~39 dB SNR vs float32 output).",
+)
+@click.option(
     "--style-reference", type=click.Path(exists=True, path_type=Path), default=None
 )
 @click.option(
@@ -148,6 +155,7 @@ def synthesize(
     pitch_control,
     energy_control,
     vocoder_path,
+    vocoder_precision,
     style_reference,
     output_dir,
     batch_size,
@@ -200,7 +208,7 @@ def synthesize(
         from ..models.hifigan import load_vocoder_checkpoint
 
         vocoder, vocoder_global_step, output_hop = load_vocoder_checkpoint(
-            Path(vocoder_path)
+            Path(vocoder_path), precision=vocoder_precision
         )
 
     from ..config import (
@@ -422,14 +430,22 @@ def average_checkpoints_cmd(ckpt_dir: Path, output: Path, last, use_ema):
               help="How long to wait for more chunks before dispatching.")
 @click.option("--max-frames", type=int, default=None)
 @click.option("--use-ema/--no-use-ema", default=False)
+@click.option(
+    "--vocoder-precision",
+    type=click.Choice(["float32", "bfloat16"]),
+    default="float32",
+    help="bfloat16 runs the vocoder convs ~1.3x faster on TPU "
+    "(~39 dB SNR vs float32 output).",
+)
 def serve_cmd(model_path, vocoder_path, host, port, max_batch,
-              batch_window_ms, max_frames, use_ema):
+              batch_window_ms, max_frames, use_ema, vocoder_precision):
     from ..serving import serve
 
     server = serve(
         model_path, vocoder_path=vocoder_path, host=host, port=port,
         max_batch=max_batch, batch_window_ms=batch_window_ms,
         max_frames=max_frames, use_ema=use_ema,
+        vocoder_precision=vocoder_precision,
     )
     click.echo(f"serving on http://{server.address[0]}:{server.address[1]}")
     try:

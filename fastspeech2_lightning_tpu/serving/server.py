@@ -315,6 +315,7 @@ def serve(
     batch_window_ms: float = 5.0,
     max_frames: Optional[int] = None,
     use_ema: bool = False,
+    vocoder_precision: str = "float32",
 ) -> SynthesisServer:
     """Load once, jit once, serve. Returns the (not yet started) server."""
     from ..synthesis.api import Synthesizer
@@ -322,7 +323,7 @@ def serve(
 
     syn = Synthesizer.from_checkpoint(
         model_path, vocoder_path=vocoder_path, max_frames=max_frames,
-        use_ema=use_ema,
+        use_ema=use_ema, vocoder_precision=vocoder_precision,
     )
     try:
         step = get_global_step(model_path)

@@ -67,6 +67,7 @@ class Synthesizer:
         vocoder_path: Optional[Path | str] = None,
         max_frames: Optional[int] = None,
         use_ema: bool = False,
+        vocoder_precision: str = "float32",
     ) -> "Synthesizer":
         from ..models.hifigan import load_vocoder_checkpoint
         from .synthesize import load_model_from_checkpoint
@@ -76,7 +77,9 @@ class Synthesizer:
         ) = load_model_from_checkpoint(Path(ckpt_path), use_ema=use_ema)
         vocoder = None
         if vocoder_path is not None:
-            vocoder, _, _ = load_vocoder_checkpoint(Path(vocoder_path))
+            vocoder, _, _ = load_vocoder_checkpoint(
+                Path(vocoder_path), precision=vocoder_precision
+            )
         return cls(
             model, variables, config, stats, lang2id, speaker2id,
             vocoder=vocoder, max_frames=max_frames,
