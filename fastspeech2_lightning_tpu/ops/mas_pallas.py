@@ -12,9 +12,10 @@ in VMEM:
    the move decision is two masked row-reductions and a lane roll — no
    gathers, no scalar extraction
 
-Used automatically by mas_width1_batched when the problem fits VMEM
-(~2 × T·B·L·4 bytes ≤ 10 MB); the scan implementation is the fallback and
-golden reference."""
+Used automatically by mas_width1_batched when one B_BLOCK-item DP table
+fits VMEM (~2 × T·B_BLOCK·L·4 bytes ≤ 10 MB); larger batches run as
+sequential grid steps of B_BLOCK items. The scan implementation is the
+fallback and golden reference."""
 
 from __future__ import annotations
 
