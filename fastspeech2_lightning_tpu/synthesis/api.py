@@ -146,7 +146,15 @@ class Synthesizer:
         wavs = None
         sr = None
         if self.vocoder is not None:
-            wav_padded, sr = self.vocoder(mels_padded)
+            # trim the padded mels to a 128-multiple of the longest
+            # utterance before vocoding: the vocoder dominates pipeline cost
+            # (~34x the acoustic model's FLOPs per frame) and scales with T,
+            # so short texts shouldn't pay for max_frames. One vocoder jit
+            # per distinct bucket (<= max_frames/128 shapes).
+            t_need = min(
+                _round_up(max(int(lens.max()), 1), 128), mels_padded.shape[1]
+            )
+            wav_padded, sr = self.vocoder(mels_padded[:, :t_need])
             hop = self.config.preprocessing.audio.fft_hop_size
             wavs = [np.asarray(wav_padded)[i, : lens[i] * hop] for i in range(B)]
         return SynthesisResult(

@@ -404,10 +404,14 @@ class PredictionWritingWavWriter(PredictionWriterBase):
 
     def on_predict_batch_end(self, outputs, batch):
         mel = np.asarray(outputs[self.output_key])
-        wavs, sr = self.vocoder(mel)
+        lens = np.asarray(outputs["tgt_lens"])
+        # vocode only up to a 128-multiple of the longest utterance — the
+        # vocoder dominates pipeline cost and scales with T (same bucketing
+        # as synthesis/api.py)
+        t_need = -(-max(int(lens.max()), 1) // 128) * 128
+        wavs, sr = self.vocoder(mel[:, : min(t_need, mel.shape[1])])
         wavs = np.asarray(wavs)
         assert wavs.shape[0] == mel.shape[0]
-        lens = np.asarray(outputs["tgt_lens"])
         for i in range(wavs.shape[0]):
             trimmed = wavs[i][: int(lens[i]) * self.output_hop_size]
             self.full_wav = (
