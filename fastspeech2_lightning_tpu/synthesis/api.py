@@ -85,22 +85,23 @@ class Synthesizer:
             vocoder=vocoder, max_frames=max_frames,
         )
 
-    def _predict_fn(self):
-        if "fn" not in self._predict_cache:
+    def _predict_fn(self, max_len: Optional[int] = None):
+        max_len = int(max_len or self.max_frames)
+        key = ("fn", max_len)
+        if key not in self._predict_cache:
             import jax
 
             model = self.model
-            max_frames = self.max_frames
 
             @functools.partial(jax.jit, static_argnames=())
             def predict(variables, batch, ctrl):
                 return model.apply(
                     variables, batch, control=ctrl, inference=True,
-                    deterministic=True, max_target_len=max_frames,
+                    deterministic=True, max_target_len=max_len,
                 )
 
-            self._predict_cache["fn"] = predict
-        return self._predict_cache["fn"]
+            self._predict_cache[key] = predict
+        return self._predict_cache[key]
 
     def synthesize(
         self,
@@ -110,7 +111,15 @@ class Synthesizer:
         pitch_control: float = 1.0,
         energy_control: float = 1.0,
         duration_control: float = 1.0,
+        adaptive_max_frames: bool = True,
     ) -> SynthesisResult:
+        """adaptive_max_frames: run the forward at a text-length-derived
+        128-multiple frame bucket instead of always max_frames (the decoder,
+        postnet, and frame-level variances all scale with T). The predicted
+        durations report the TRUE total before clamping, so an underestimate
+        is detected and re-run at the exact bucket — output is identical to
+        the fixed-max_frames path, short inputs just stop paying for it.
+        Costs one jit compile per occupied bucket (first hit only)."""
         tp = self.text_processor
         encoded = [np.asarray(tp.encode_text(t), dtype=np.int32) for t in texts]
         if any(len(e) == 0 for e in encoded):
@@ -135,7 +144,15 @@ class Synthesizer:
             "energy": np.float32(energy_control),
             "duration": np.float32(duration_control),
         }
-        out = self._predict_fn()(self.variables, batch, ctrl)
+        cap = int(self.max_frames)
+        # ~12 frames/symbol upper estimate (English @ 22.05 kHz / 256 hop is
+        # typically 6-10); the duration-total check below corrects misses
+        est = min(cap, _round_up(12 * L, 128)) if adaptive_max_frames else cap
+        out = self._predict_fn(est)(self.variables, batch, ctrl)
+        true_total = int(np.asarray(out["duration_rounded"]).sum(axis=1).max())
+        if est < cap and true_total > est:
+            need = min(cap, _round_up(max(true_total, 1), 128))
+            out = self._predict_fn(need)(self.variables, batch, ctrl)
         key = "postnet_output" if self.config.model.use_postnet else "output"
         mels_padded = np.asarray(out[key])
         lens = np.asarray(out["tgt_lens"])
