@@ -125,3 +125,21 @@ def test_pcm16_and_header_helpers():
     pcm = pcm16(np.array([0.0, 1.0, -1.0, 2.0]))
     vals = np.frombuffer(pcm, dtype="<i2")
     np.testing.assert_array_equal(vals, [0, 32767, -32767, 32767])
+
+
+def test_adaptive_frame_buckets_match_fixed(tmp_path):
+    """Adaptive target-length bucketing must be output-identical to running
+    at max_frames (short input -> small bucket; duration-total check)."""
+    from fastspeech2_lightning_tpu.testing import get_stubbed_model
+
+    _, ckpt = get_stubbed_model(tmp_path)
+    syn = Synthesizer.from_checkpoint(ckpt, max_frames=256)
+    texts = ["abc"]  # short: 12 * L rounds to a bucket below max_frames
+    fixed = syn.synthesize(texts, adaptive_max_frames=False)
+    adaptive = syn.synthesize(texts, adaptive_max_frames=True)
+    assert len(fixed.mels) == len(adaptive.mels) == 1
+    assert fixed.mels[0].shape == adaptive.mels[0].shape
+    np.testing.assert_allclose(
+        fixed.mels[0], adaptive.mels[0], atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_array_equal(fixed.durations[0], adaptive.durations[0])
