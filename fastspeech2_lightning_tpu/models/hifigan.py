@@ -334,4 +334,8 @@ def make_vocoder_fn(
         )
         return wav, config.sampling_rate
 
+    # device-to-device entry point: callers holding the mel on-device (the
+    # Synthesizer) skip the host round-trip between model and vocoder
+    vocoder.device_fn = lambda mel_dev: gen(params, mel_dev.astype(in_dt))
+    vocoder.sample_rate = config.sampling_rate
     return vocoder

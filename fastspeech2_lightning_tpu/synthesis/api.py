@@ -154,8 +154,27 @@ class Synthesizer:
             need = min(cap, _round_up(max(true_total, 1), 128))
             out = self._predict_fn(need)(self.variables, batch, ctrl)
         key = "postnet_output" if self.config.model.use_postnet else "output"
-        mels_padded = np.asarray(out[key])
         lens = np.asarray(out["tgt_lens"])
+
+        wav_dev = None
+        if self.vocoder is not None:
+            # trim the padded mels to a 128-multiple of the longest
+            # utterance before vocoding: the vocoder dominates pipeline cost
+            # (~34x the acoustic model's FLOPs per frame) and scales with T,
+            # so short texts shouldn't pay for max_frames. One vocoder jit
+            # per distinct bucket (<= max_frames/128 shapes). The mel stays
+            # on-device between model and vocoder (device_fn) — no
+            # host round-trip on the request path.
+            t_need = min(
+                _round_up(max(int(lens.max()), 1), 128), out[key].shape[1]
+            )
+            device_fn = getattr(self.vocoder, "device_fn", None)
+            if device_fn is not None:
+                wav_dev = device_fn(out[key][:, :t_need])
+            else:
+                wav_dev, _ = self.vocoder(np.asarray(out[key])[:, :t_need])
+
+        mels_padded = np.asarray(out[key])
         dur = np.asarray(out["duration_rounded"])
         mels = [mels_padded[i, : lens[i]] for i in range(B)]
         durations = [dur[i, : len(encoded[i])] for i in range(B)]
@@ -163,17 +182,13 @@ class Synthesizer:
         wavs = None
         sr = None
         if self.vocoder is not None:
-            # trim the padded mels to a 128-multiple of the longest
-            # utterance before vocoding: the vocoder dominates pipeline cost
-            # (~34x the acoustic model's FLOPs per frame) and scales with T,
-            # so short texts shouldn't pay for max_frames. One vocoder jit
-            # per distinct bucket (<= max_frames/128 shapes).
-            t_need = min(
-                _round_up(max(int(lens.max()), 1), 128), mels_padded.shape[1]
+            sr = getattr(
+                self.vocoder, "sample_rate",
+                self.config.preprocessing.audio.output_sampling_rate,
             )
-            wav_padded, sr = self.vocoder(mels_padded[:, :t_need])
             hop = self.config.preprocessing.audio.fft_hop_size
-            wavs = [np.asarray(wav_padded)[i, : lens[i] * hop] for i in range(B)]
+            wav_host = np.asarray(wav_dev, dtype=np.float32)
+            wavs = [wav_host[i, : lens[i] * hop] for i in range(B)]
         return SynthesisResult(
             mels=mels, durations=durations, wavs=wavs, sample_rate=sr
         )
