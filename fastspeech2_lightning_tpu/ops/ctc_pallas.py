@@ -99,6 +99,10 @@ def _make_kernel(chunk: int, left: bool, add_emis_first: bool):
 
         carry[:] = jax.lax.fori_loop(0, C // BLK, blk_step, carry[:])
 
+    # name the kernel so profiler traces attribute it readably
+    kernel.__name__ = (
+        f"ctc_banded_lse_{'beta' if left else 'alpha'}"
+    )
     return kernel
 
 

@@ -98,17 +98,76 @@ def measure_ctc_grad():
     return _chain_time(step, logits) * 1000
 
 
+def measure_device_times():
+    """On-device op times of the MAS/CTC kernels from a profiler trace.
+
+    The chained-wall numbers above are upper bounds that include the
+    relay/tunnel dispatch floor (~5-10 ms for sub-millisecond programs);
+    these are what the kernels actually cost inside a larger program."""
+    import sys
+    import tempfile
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from profile_kernels import device_op_ms
+
+    from fastspeech2_lightning_tpu.ops.ctc import ctc_forward_sum
+    from fastspeech2_lightning_tpu.ops.mas_pallas import mas_width1_pallas
+
+    B, T, L = 8, 1024, 128
+    rng = np.random.default_rng(0)
+    la = jnp.asarray(rng.standard_normal((B, T, L)).astype(np.float32))
+    logits = jnp.asarray(
+        rng.standard_normal((B, T, L + 1)).astype(np.float32)
+    )
+    in_lens = jnp.full((B,), L, jnp.int32)
+    out_lens = jnp.full((B,), T, jnp.int32)
+
+    @jax.jit
+    def mas_step(la):
+        hard = mas_width1_pallas(la, in_lens, out_lens)
+        return la + jnp.sum(hard[:, :1, :1]) * 1e-12
+
+    def loss(logits):
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        return jnp.mean(ctc_forward_sum(lp, in_lens, out_lens))
+
+    g = jax.grad(loss)
+
+    @jax.jit
+    def ctc_step(logits):
+        return logits + g(logits) * 1e-12
+
+    reps = 10
+    out = {}
+    for name, step, x, pattern in (
+        ("mas_device_ms", mas_step, la, r"mas_width1_pallas"),
+        ("ctc_grad_device_ms", ctc_step, logits, r"banded_lse_scan_pallas"),
+    ):
+        c = step(x)
+        np.asarray(c[0, 0, 0])
+        d = Path(tempfile.mkdtemp(prefix="mh_prof_"))
+        with jax.profiler.trace(str(d)):
+            for _ in range(reps):
+                c = step(c)
+            np.asarray(c[0, 0, 0])
+        out[name] = device_op_ms(d, pattern, reps=reps)
+    return out
+
+
 if __name__ == "__main__":
     train_ms, train_fps = measure_train_step()
     mas_ms = measure_mas()
     ctc_ms = measure_ctc_grad()
-    print(
-        json.dumps(
-            {
-                "train_step_ms_B8_T1024": round(train_ms, 2),
-                "train_frames_per_s": round(train_fps, 0),
-                "mas_pallas_ms_8x1024x128": round(mas_ms, 2),
-                "ctc_grad_ms_8x1024x128": round(ctc_ms, 2),
-            }
-        )
-    )
+    result = {
+        "train_step_ms_B8_T1024": round(train_ms, 2),
+        "train_frames_per_s": round(train_fps, 0),
+        "mas_pallas_ms_8x1024x128": round(mas_ms, 2),
+        "ctc_grad_ms_8x1024x128": round(ctc_ms, 2),
+    }
+    try:
+        dev = measure_device_times()
+        result.update({k: round(v, 3) for k, v in dev.items()})
+    except Exception as e:  # profiling is best-effort
+        result["device_times_error"] = str(e)[:200]
+    print(json.dumps(result))

@@ -88,6 +88,34 @@ def run_train(reps=10):
     np.asarray(state.step)
 
 
+def device_op_ms(trace_dir: Path, pattern: str, reps: int = 1) -> float:
+    """Total on-device ms of ops whose name matches `pattern`, per rep."""
+    import re
+
+    files = glob.glob(str(trace_dir / "**" / "*.trace.json.gz"), recursive=True)
+    if not files:
+        return float("nan")
+    with gzip.open(max(files, key=lambda f: Path(f).stat().st_mtime)) as f:
+        trace = json.load(f)
+    tid_names = {}
+    for e in trace.get("traceEvents", []):
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_names[(e.get("pid"), e.get("tid"))] = e.get("args", {}).get(
+                "name", ""
+            )
+    op_tids = {k for k, n in tid_names.items() if "XLA Ops" in n}
+    rx = re.compile(pattern)
+    total = 0.0
+    for e in trace.get("traceEvents", []):
+        if e.get("ph") != "X":
+            continue
+        if op_tids and (e.get("pid"), e.get("tid")) not in op_tids:
+            continue
+        if rx.search(e.get("name", "")):
+            total += e.get("dur", 0)
+    return total / 1e3 / max(reps, 1)
+
+
 def summarize(trace_dir: Path, top: int = 25):
     files = glob.glob(str(trace_dir / "**" / "*.trace.json.gz"), recursive=True)
     if not files:
