@@ -246,3 +246,34 @@ def test_gst_style_reference_inference():
     assert not np.allclose(
         np.asarray(out_ref["output"]), np.asarray(out_tok["output"])
     )
+
+
+def test_style_reference_with_teacher_forcing():
+    """Style-reference conditioning composes with teacher forcing: the GST
+    conditions on the reference mel while the target mel pins durations
+    (fs2/model.py:162-203 — both paths are active in the same forward)."""
+    rng = np.random.default_rng(12)
+    cfg, model = build(learn_alignment=True, use_global_style_token_module=True)
+    batch = synthetic_batch(rng, learn_alignment=True)
+    variables, _ = init_and_apply(model, batch)
+
+    tf_batch = dict(batch)
+    tf_batch["mel_style_reference"] = rng.standard_normal((2, 40, 20)).astype(
+        np.float32
+    )
+    out = model.apply(
+        variables, tf_batch, inference=True, teacher_forcing=True,
+        deterministic=True,
+    )
+    # teacher forcing still pins the output length to the target mel length
+    assert out["output"].shape[1] == batch["mel"].shape[1]
+    np.testing.assert_array_equal(np.asarray(out["tgt_lens"]), batch["mel_lens"])
+    # and the style reference changes the output vs GST-token fallback
+    out_tok = model.apply(
+        variables, batch, inference=True, teacher_forcing=True,
+        deterministic=True,
+    )
+    assert np.isfinite(np.asarray(out["output"])).all()
+    assert not np.allclose(
+        np.asarray(out["output"]), np.asarray(out_tok["output"])
+    )
