@@ -122,8 +122,12 @@ def mas_width1_batched(
         from .mas_pallas import fits_vmem, mas_width1_pallas
 
         use_pallas = _jax.default_backend() == "tpu" and fits_vmem(B, T, L)
-    except Exception:
+    except Exception as exc:
         use_pallas = False
+        if jax.default_backend() == "tpu":
+            from ._fallback import warn_fallback_once
+
+            warn_fallback_once("mas_width1_pallas", exc)
 
     if use_pallas:
         attn_hard = mas_width1_pallas(log_attn, in_lens, out_lens)

@@ -21,6 +21,7 @@ TPU sees a handful of compiled shapes.
 from __future__ import annotations
 
 import json
+import logging
 import queue
 import struct
 import threading
@@ -30,6 +31,8 @@ from io import BytesIO
 from typing import List, Optional
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 def wav_stream_header(sample_rate: int, channels: int = 1, bits: int = 16) -> bytes:
@@ -187,9 +190,18 @@ class SynthesisServer:
         syn = self.synthesizer
         if not syn.config.text.split_text:
             return [text]
+        # derive split-length stats from the model's trained representation
+        # (phone-trained models must not chunk by character-length stats)
+        from ..config import TargetTrainingTextRepresentationLevel
+
+        level = syn.config.model.target_text_representation_level
+        representation = (
+            DatasetTextRepresentation.characters
+            if level == TargetTrainingTextRepresentationLevel.characters
+            else DatasetTextRepresentation.ipa_phones
+        )
         desired, maxi, strong, weak = get_text_split_params(
-            syn.stats, DatasetTextRepresentation.characters, syn.config,
-            language,
+            syn.stats, representation, syn.config, language,
         )
         return chunk_text(text, desired, maxi, strong, weak) or [text]
 
@@ -297,11 +309,22 @@ class SynthesisServer:
                 self.end_headers()
                 self._chunked(wav_stream_header(sr))
                 self._chunked(pcm16(wav0))
-                for job in jobs[1:]:
-                    _mel, wav, _sr = job.future.result(timeout=600)
-                    self._chunked(pcm16(wav))
-                self.wfile.write(b"0\r\n\r\n")
-                self.wfile.flush()
+                try:
+                    for job in jobs[1:]:
+                        _mel, wav, _sr = job.future.result(timeout=600)
+                        self._chunked(pcm16(wav))
+                except Exception as exc:
+                    # the 200 header is already out; end the chunked stream
+                    # cleanly so the client sees a well-formed (short) body —
+                    # detectable against the X-Chunks header — instead of a
+                    # silently dropped connection
+                    logger.error(f"wav stream aborted mid-response: {exc}")
+                    self.close_connection = True
+                try:
+                    self.wfile.write(b"0\r\n\r\n")
+                    self.wfile.flush()
+                except OSError:
+                    pass  # client already gone
 
         return Handler
 

@@ -19,6 +19,7 @@ from pathlib import Path
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 from packaging.version import Version
@@ -75,6 +76,10 @@ def save_checkpoint(
         "speaker2id": speaker2id,
         "symbols": symbols,
         "metrics": metrics or {},
+        # top-level array keys actually saved, so load_checkpoint can build a
+        # restore template that matches the on-disk structure even when the
+        # run config toggled optional state (e.g. ema_decay) since saving
+        "array_keys": sorted(arrays.keys()),
     }
     with open(path / "meta.json", "w", encoding="utf8") as f:
         json.dump(meta, f, indent=2)
@@ -163,11 +168,21 @@ def check_and_upgrade_checkpoint(
                 "Unable to automatically update your embedding table: the "
                 "checkpoint has more symbols than the current model."
             )
+        missing = [s for s in ckpt_symbols if s not in current_symbols]
+        if missing:
+            # the reference maps symbols absent from the current inventory
+            # onto row 0 (fs2/model.py:335-341), silently overwriting the pad
+            # embedding (last writer wins); we fail loudly instead
+            raise CheckpointError(
+                "Unable to automatically update your embedding table: "
+                f"checkpoint symbols {missing!r} are not in the current "
+                "model's symbol inventory."
+            )
         old = np.asarray(arrays["params"]["text_input_layer"]["embedding"])
         new = np.zeros((len(current_symbols), old.shape[1]), dtype=old.dtype)
+        index = {s: j for j, s in enumerate(current_symbols)}
         for i, sym in enumerate(ckpt_symbols):
-            j = current_symbols.index(sym) if sym in current_symbols else 0
-            new[j] = old[i]
+            new[index[sym]] = old[i]
         arrays["params"]["text_input_layer"]["embedding"] = new
         meta["model_info"]["version"] = MODEL_VERSION
     return meta, arrays
@@ -204,15 +219,18 @@ def average_checkpoints(
                 f"{p} has a different parameter structure; cannot average"
             )
     n = float(len(trees))
-    avg = jax.tree_util.tree_map(
-        lambda *leaves: sum(np.asarray(x, dtype=np.float64) for x in leaves).astype(
-            np.asarray(leaves[0]).dtype
-        )
-        / n
-        if np.issubdtype(np.asarray(leaves[0]).dtype, np.floating)
-        else leaves[0],
-        *trees,
-    )
+
+    def _avg_leaf(*leaves):
+        # jnp.issubdtype understands ml_dtypes leaves (bfloat16, float8) that
+        # np.issubdtype rejects; divide in float64 BEFORE casting back so
+        # narrow dtypes neither overflow in the sum nor lose precision
+        dtype = np.asarray(leaves[0]).dtype
+        if not jnp.issubdtype(dtype, jnp.floating):
+            return leaves[0]
+        total = sum(np.asarray(x, dtype=np.float64) for x in leaves)
+        return (total / n).astype(dtype)
+
+    avg = jax.tree_util.tree_map(_avg_leaf, *trees)
     newest_meta, newest_arrays = max(metas, key=lambda m: m[0]["global_step"])
 
     out_path = Path(out_path)
@@ -248,6 +266,24 @@ def load_checkpoint(
         meta = json.load(f)
     ckptr = ocp.StandardCheckpointer()
     if template is not None:
+        # Reconcile the template's top-level keys with what the checkpoint
+        # actually holds: a run that toggles optional state (ema_decay on/off)
+        # between save and resume must not hit orbax's structure-mismatch
+        # ValueError. `array_keys` is recorded at save time; older checkpoints
+        # fall back to the orbax metadata tree.
+        saved_keys = meta.get("array_keys")
+        if saved_keys is None:
+            try:
+                md = ckptr.metadata((ckpt_path / "arrays").resolve())
+                saved_keys = sorted(md.item_metadata.tree.keys())
+            except Exception:
+                saved_keys = None
+        if saved_keys is not None:
+            template = {k: v for k, v in template.items() if k in saved_keys}
+            if "ema_params" in saved_keys and "ema_params" not in template:
+                # checkpoint carries EMA weights the current run doesn't use;
+                # EMA mirrors the param structure, so borrow it for restore
+                template = dict(template, ema_params=template["params"])
         abstract = jax.tree_util.tree_map(
             lambda x: ocp.utils.to_shape_dtype_struct(x)
             if hasattr(x, "shape")

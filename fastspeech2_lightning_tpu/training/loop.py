@@ -208,10 +208,14 @@ class Trainer:
             meta, arrays = load_checkpoint(
                 start_path, self.text_processor.symbols, template=template
             )
-            ema = arrays.get("ema_params", state.ema_params)
-            if state.ema_params is not None and arrays.get("ema_params") is None:
-                # resumed with ema_decay newly enabled: seed from the params
-                ema = jax.tree_util.tree_map(jnp.array, arrays["params"])
+            ema = state.ema_params
+            if state.ema_params is not None:
+                ema = arrays.get("ema_params")
+                if ema is None:
+                    # resumed with ema_decay newly enabled: seed from the params
+                    ema = jax.tree_util.tree_map(jnp.array, arrays["params"])
+            # else: ema_decay is off this run — ignore any EMA weights the
+            # checkpoint may carry (they are still loadable via --use-ema)
             state = state.replace(
                 params=arrays["params"],
                 opt_state=arrays["opt_state"],

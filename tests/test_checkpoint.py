@@ -172,6 +172,103 @@ def test_average_checkpoints_and_use_ema(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_pre_1_2_remap_rejects_missing_symbols():
+    # symbols absent from the current inventory must fail loudly, not be
+    # stacked onto row 0 (which would overwrite the pad embedding)
+    meta = {
+        "model_info": {"name": "FastSpeech2", "version": "1.1"},
+        "config": {"model": {"target_text_representation_level": "characters"}},
+        "symbols": ["\x80", "x", "y"],
+    }
+    arrays = {
+        "params": {"text_input_layer": {"embedding": np.zeros((3, 4), np.float32)}}
+    }
+    from fastspeech2_lightning_tpu.training.checkpoint import CheckpointError
+
+    with pytest.raises(CheckpointError, match="not in the current"):
+        check_and_upgrade_checkpoint(meta, arrays, ["\x80", " ", "a", "b"])
+
+
+def test_ema_toggle_resume_both_directions(tmp_path):
+    """Toggling ema_decay between save and resume must not crash the
+    templated restore (advisor round-2 medium finding)."""
+    cfg = tiny_config()
+    cfg.training.ema_decay = 0.9
+    _, state_ema, _ = make_state(cfg)
+    assert state_ema.ema_params is not None
+    p_with = save_checkpoint(
+        tmp_path / "with", state_ema, cfg, tiny_stats(), {"d": 0}, {"d": 0}, ["\x80"]
+    )
+
+    cfg2 = tiny_config()
+    _, state_plain, _ = make_state(cfg2)
+    assert state_plain.ema_params is None
+    p_without = save_checkpoint(
+        tmp_path / "without", state_plain, cfg2, tiny_stats(), {"d": 0}, {"d": 0},
+        ["\x80"],
+    )
+
+    def template_for(state):
+        t = {"params": state.params, "opt_state": state.opt_state}
+        if state.batch_stats is not None:
+            t["batch_stats"] = state.batch_stats
+        if state.constants is not None:
+            t["constants"] = state.constants
+        if state.ema_params is not None:
+            t["ema_params"] = state.ema_params
+        return t
+
+    # ckpt has ema_params, run has ema off: restore succeeds, EMA available
+    _, arrays = load_checkpoint(p_with, template=template_for(state_plain))
+    assert arrays.get("ema_params") is not None
+    # ckpt lacks ema_params, run has ema newly on: restore succeeds, no EMA
+    _, arrays = load_checkpoint(p_without, template=template_for(state_ema))
+    assert arrays.get("ema_params") is None
+
+    # legacy checkpoint without array_keys in meta: orbax metadata fallback
+    import json as _json
+
+    meta_path = p_with / "meta.json"
+    meta = _json.loads(meta_path.read_text())
+    del meta["array_keys"]
+    meta_path.write_text(_json.dumps(meta))
+    _, arrays = load_checkpoint(p_with, template=template_for(state_plain))
+    assert arrays.get("ema_params") is not None
+
+
+def test_average_checkpoints_bf16_leaves(tmp_path):
+    """bfloat16 leaves must actually be averaged (not silently copied) and
+    averaging must divide before the narrow-dtype cast."""
+    import jax.numpy as jnp
+    from fastspeech2_lightning_tpu.training.checkpoint import average_checkpoints
+
+    cfg = tiny_config()
+    _, state, _ = make_state(cfg)
+    bf16 = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.bfloat16), state.params
+    )
+    p1 = save_checkpoint(
+        tmp_path / "a", state.replace(params=bf16), cfg, tiny_stats(), {}, {}, []
+    )
+    tripled = jax.tree_util.tree_map(lambda x: x * 3.0, bf16)
+    p2 = save_checkpoint(
+        tmp_path / "b",
+        state.replace(params=tripled, step=state.step + 1),
+        cfg, tiny_stats(), {}, {}, [],
+    )
+    out = average_checkpoints([p1, p2], tmp_path / "avg")
+    _, arrays = load_checkpoint(out)
+    got = jax.tree_util.tree_leaves(arrays["params"])
+    want = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda x: np.asarray(x * 2.0), bf16)
+    )
+    for w, g in zip(want, got):
+        assert np.asarray(g).dtype == np.asarray(w).dtype
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(w, np.float32), rtol=2e-2
+        )
+
+
 def test_average_checkpoints_requires_ema_when_asked(tmp_path):
     from fastspeech2_lightning_tpu.training.checkpoint import (
         CheckpointError,
