@@ -197,6 +197,7 @@ def collate(
     pad_text_to: Optional[int] = None,
     pad_mel_to: Optional[int] = None,
     learn_alignment: bool = True,
+    variance_levels: Optional[Dict[str, str]] = None,
 ) -> dict:
     """Pad a list of per-utterance dicts into one fixed-shape numpy batch
     (collate_method parity, fs2/dataset.py:257-293, plus static bucket pads)."""
@@ -251,14 +252,21 @@ def collate(
     for key in ("pitch", "energy"):
         if samples[0].get(key) is not None:
             # frame-level targets (always the case when alignment is learned,
-            # fs2/variance_adaptor.py:269-278) pad to T; phone-level to L
-            is_frame = learn_alignment or (
-                has_mel
-                and any(
+            # fs2/variance_adaptor.py:269-278) pad to T; phone-level to L.
+            # The level comes from the config's variance_predictors when
+            # provided — shape inference is only a fallback for callers that
+            # collate without a config (a one-frame-off artifact would
+            # silently flip the inferred branch).
+            if learn_alignment:
+                is_frame = True
+            elif variance_levels is not None and key in variance_levels:
+                level = variance_levels[key]
+                is_frame = getattr(level, "value", level) == "frame"
+            else:
+                is_frame = has_mel and any(
                     abs(s[key].shape[0] - ml) <= 1
                     for s, ml in zip(samples, mel_lens)
                 )
-            )
             W = (T if T else L) if is_frame else L
             arr = np.zeros((B, W), dtype=np.float32)
             for i, s in enumerate(samples):
@@ -336,41 +344,51 @@ class BucketedLoader:
         self.rng = np.random.default_rng(seed)
         self.use_weighted_sampler = use_weighted_sampler
 
-        # measure lengths from artifacts (text from tokens; mel from spec shape)
-        text_lens, mel_lens = [], []
+        # measure lengths from artifacts (text from tokens; mel from spec
+        # shape), with a sidecar cache so Trainer construction doesn't rescan
+        # every spec header each run (the reference persists its prepared
+        # datasets to disk, fs2/dataset.py:303-351 — same intent)
+        a = dataset.config.preprocessing.audio
         level = dataset.config.model.target_text_representation_level
         tok_key = (
             "character_tokens"
             if level == TargetTrainingTextRepresentationLevel.characters
             else "phone_tokens"
         )
-        for i in range(len(dataset)):
-            item = dataset.items[i]
-            tl = len((item.get(tok_key) or "").split("/")) or 1
-            if not item.get(tok_key):
-                tl = len(dataset._encode_text(item))
-            text_lens.append(tl)
-            a = dataset.config.preprocessing.audio
-            spec_path = (
-                dataset.preprocessed_dir
-                / "spec"
-                / SEP.join(
-                    [
-                        item["basename"],
-                        item.get("speaker") or "default",
-                        item.get("language") or "default",
-                        f"spec-{a.input_sampling_rate}-{a.spec_type}.npy",
-                    ]
-                )
+        spec_name = f"spec-{a.input_sampling_rate}-{a.spec_type}.npy"
+        spec_paths = [
+            dataset.preprocessed_dir
+            / "spec"
+            / SEP.join(
+                [
+                    item["basename"],
+                    item.get("speaker") or "default",
+                    item.get("language") or "default",
+                    spec_name,
+                ]
             )
-            if spec_path.exists():
-                # header-only read: np.load with mmap to avoid full IO
-                shape = np.load(spec_path, mmap_mode="r").shape
-                mel_lens.append(shape[1])
-            else:
-                mel_lens.append(0)
-        self.text_lens = np.array(text_lens)
-        self.mel_lens = np.array(mel_lens)
+            for item in dataset.items
+        ]
+        cached = self._load_length_cache(dataset, tok_key, spec_paths)
+        if cached is not None:
+            self.text_lens, self.mel_lens = cached
+        else:
+            text_lens, mel_lens = [], []
+            for i in range(len(dataset)):
+                item = dataset.items[i]
+                tl = len((item.get(tok_key) or "").split("/")) or 1
+                if not item.get(tok_key):
+                    tl = len(dataset._encode_text(item))
+                text_lens.append(tl)
+                if spec_paths[i].exists():
+                    # header-only read: np.load with mmap to avoid full IO
+                    shape = np.load(spec_paths[i], mmap_mode="r").shape
+                    mel_lens.append(shape[1])
+                else:
+                    mel_lens.append(0)
+            self.text_lens = np.array(text_lens)
+            self.mel_lens = np.array(mel_lens)
+            self._save_length_cache(dataset, tok_key, spec_paths)
 
         # quantile bucket edges on mel length
         qs = np.linspace(0, 1, n_buckets + 1)[1:]
@@ -387,6 +405,59 @@ class BucketedLoader:
                 mm = min(mm, max_mel_length)
             self.buckets.append(Bucket(mt, mm, list(sel)))
             lo = edge
+
+    @staticmethod
+    def _length_cache_key(dataset, tok_key: str, spec_paths) -> str:
+        """Hash of the filelist content + each spec file's (mtime, size): a
+        re-preprocessed artifact or edited filelist invalidates the cache."""
+        import hashlib
+        import json
+
+        rows = []
+        for item, p in zip(dataset.items, spec_paths):
+            try:
+                st = p.stat()
+                stamp = (st.st_mtime_ns, st.st_size)
+            except OSError:
+                stamp = None
+            rows.append(
+                [
+                    item["basename"],
+                    item.get("speaker") or "default",
+                    item.get("language") or "default",
+                    item.get(tok_key) or "",
+                    stamp,
+                ]
+            )
+        blob = json.dumps(rows, sort_keys=True, ensure_ascii=False)
+        return hashlib.sha1(blob.encode("utf8")).hexdigest()
+
+    def _cache_path(self, dataset, tok_key, spec_paths) -> Path:
+        key = self._length_cache_key(dataset, tok_key, spec_paths)
+        return dataset.preprocessed_dir / ".lengths_cache" / f"{key}.npz"
+
+    def _load_length_cache(self, dataset, tok_key, spec_paths):
+        try:
+            path = self._cache_path(dataset, tok_key, spec_paths)
+            if not path.exists():
+                return None
+            d = np.load(path)
+            text_lens, mel_lens = d["text_lens"], d["mel_lens"]
+            if len(text_lens) != len(dataset):
+                return None
+            return text_lens, mel_lens
+        except Exception:
+            return None
+
+    def _save_length_cache(self, dataset, tok_key, spec_paths) -> None:
+        try:
+            path = self._cache_path(dataset, tok_key, spec_paths)
+            path.parent.mkdir(parents=True, exist_ok=True)
+            tmp = path.with_suffix(".tmp.npz")
+            np.savez(tmp, text_lens=self.text_lens, mel_lens=self.mel_lens)
+            tmp.replace(path)
+        except Exception:
+            pass  # cache is an optimization; never fail construction over it
 
     def __len__(self):
         n = 0
@@ -441,22 +512,35 @@ class BucketedLoader:
         for b, idx in zip(self.buckets, order_per_bucket):
             for start in range(0, len(idx), self.batch_size):
                 chunk = idx[start : start + self.batch_size]
-                if len(chunk) < self.batch_size:
-                    if self.drop_last or len(chunk) == 0:
+                n_real = len(chunk)
+                if n_real < self.batch_size:
+                    if self.drop_last or n_real == 0:
                         continue
-                    reps = self.rng.choice(idx, self.batch_size - len(chunk))
+                    # fill with arbitrary bucket-mates to keep the shape
+                    # static; filled rows get sample_weight 0 so they carry
+                    # NO gradient (the reference's DataLoader just emits a
+                    # smaller final batch — zero-weight fill matches its
+                    # per-epoch gradient semantics at a static shape)
+                    reps = self.rng.choice(idx, self.batch_size - n_real)
                     chunk = np.concatenate([chunk, reps])
-                batches.append((b, chunk))
+                batches.append((b, chunk, n_real))
         self.rng.shuffle(batches)
 
-        for b, chunk in batches:
+        vp = self.dataset.config.model.variance_predictors
+        levels = {"pitch": vp.pitch.level, "energy": vp.energy.level}
+        for b, chunk, n_real in batches:
             samples = [self.dataset[int(i)] for i in chunk]
-            yield collate(
+            batch = collate(
                 samples,
                 pad_text_to=b.max_text,
                 pad_mel_to=b.max_mel,
                 learn_alignment=self.dataset.config.model.learn_alignment,
+                variance_levels=levels,
             )
+            weights = np.ones(len(chunk), dtype=np.float32)
+            weights[n_real:] = 0.0
+            batch["sample_weight"] = weights
+            yield batch
 
 
 def load_datasets(

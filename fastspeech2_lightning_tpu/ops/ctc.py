@@ -61,11 +61,16 @@ def _lse3(a, b, c):
 
 
 def _use_pallas(B, T, S) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
     try:
-        import jax as _jax
+        from . import ctc_pallas  # noqa: F401  (probe the kernel module)
 
-        return _jax.default_backend() == "tpu" and B * S * 4 <= 2**20
-    except Exception:
+        return B * S * 4 <= 2**20
+    except Exception as exc:
+        from ._fallback import warn_fallback_once
+
+        warn_fallback_once("ctc banded_lse_scan_pallas", exc)
         return False
 
 
@@ -216,8 +221,12 @@ def attention_ctc_loss(
     in_lens: jnp.ndarray,
     out_lens: jnp.ndarray,
     blank_logprob: float = -1.0,
+    sample_weight: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Forward-sum alignment loss over [B, T_mel, L_text] attention scores."""
+    """Forward-sum alignment loss over [B, T_mel, L_text] attention scores.
+
+    `sample_weight` [B] (0/1) excludes static-shape filler rows from the
+    batch mean (BucketedLoader's zero-weight partial-batch fill)."""
     B, T, L = attn_logprob.shape
     blank = jnp.full((B, T, 1), blank_logprob, dtype=jnp.float32)
     logits = jnp.concatenate([blank, attn_logprob.astype(jnp.float32)], axis=-1)
@@ -229,14 +238,25 @@ def attention_ctc_loss(
     # zero_infinity + "mean" reduction (per-target-length, then batch mean)
     per_example = jnp.where(jnp.isfinite(per_example), per_example, 0.0)
     per_example = jnp.where(per_example >= -NEG_INF * 1e-3, 0.0, per_example)
-    return jnp.mean(per_example / jnp.maximum(in_lens.astype(jnp.float32), 1.0))
+    per_example = per_example / jnp.maximum(in_lens.astype(jnp.float32), 1.0)
+    if sample_weight is None:
+        return jnp.mean(per_example)
+    w = sample_weight.astype(jnp.float32)
+    return jnp.sum(per_example * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def attention_binarization_loss(
-    hard_attention: jnp.ndarray, soft_attention: jnp.ndarray, eps: float = 1e-12
+    hard_attention: jnp.ndarray,
+    soft_attention: jnp.ndarray,
+    eps: float = 1e-12,
+    sample_weight: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """-sum(log soft | hard==1) / sum(hard) (fs2/attn/attention_loss.py:65-73)."""
     log_soft = jnp.log(jnp.clip(soft_attention, eps, None))
-    num = jnp.sum(log_soft * hard_attention)
-    den = jnp.maximum(jnp.sum(hard_attention), 1.0)
+    hard = hard_attention
+    if sample_weight is not None:
+        w = sample_weight.astype(hard.dtype)
+        hard = hard * w.reshape((-1,) + (1,) * (hard.ndim - 1))
+    num = jnp.sum(log_soft * hard)
+    den = jnp.maximum(jnp.sum(hard), 1.0)
     return -num / den

@@ -21,10 +21,25 @@ from ..config import FastSpeech2Config, VarianceLevelEnum, VarianceLossEnum
 from ..ops.ctc import attention_binarization_loss, attention_ctc_loss
 
 
-def _elem_loss(kind: VarianceLossEnum, pred, target):
-    if kind == VarianceLossEnum.mse:
-        return jnp.mean((pred - target) ** 2)
-    return jnp.mean(jnp.abs(pred - target))
+def _elem_loss(kind: VarianceLossEnum, pred, target, sample_weight=None):
+    diff = (pred - target) ** 2 if kind == VarianceLossEnum.mse else jnp.abs(
+        pred - target
+    )
+    if sample_weight is None:
+        return jnp.mean(diff)
+    # zero-weight rows are static-shape filler (BucketedLoader partial-batch
+    # fill): exclude them from numerator AND denominator so the loss equals
+    # the mean the reference would compute over a smaller final batch
+    # (keeping the per-sample denominator = prod(shape[1:]), i.e. the
+    # reference's padded-denominator quirk, intact)
+    w = sample_weight.astype(jnp.float32)
+    wb = w.reshape((-1,) + (1,) * (diff.ndim - 1))
+    per_sample_elems = 1
+    for d in diff.shape[1:]:
+        per_sample_elems *= d
+    return jnp.sum(diff * wb) / jnp.maximum(
+        jnp.sum(w) * per_sample_elems, 1.0
+    )
 
 
 def compute_loss(
@@ -39,6 +54,9 @@ def compute_loss(
 
     src_mask = output["src_mask"].astype(jnp.float32)
     tgt_mask = output["tgt_mask"].astype(jnp.float32)
+    sw = batch.get("sample_weight")
+    if sw is not None:
+        sw = jnp.asarray(sw, jnp.float32)
 
     # Pitch
     if output["pitch_target"] is not None:
@@ -52,6 +70,7 @@ def compute_loss(
                 mcfg.variance_predictors.pitch.loss,
                 output["pitch_prediction"] * mask,
                 output["pitch_target"] * mask,
+                sw,
             )
             * tcfg.pitch_loss_weight
         )
@@ -68,6 +87,7 @@ def compute_loss(
                 mcfg.variance_predictors.energy.loss,
                 output["energy_prediction"] * mask,
                 output["energy_target"] * mask,
+                sw,
             )
             * tcfg.energy_loss_weight
         )
@@ -81,6 +101,7 @@ def compute_loss(
             mcfg.variance_predictors.duration.loss,
             output["duration_prediction"] * src_mask,
             log_duration_target,
+            sw,
         )
         * tcfg.duration_loss_weight
     )
@@ -89,12 +110,12 @@ def compute_loss(
     m3 = tgt_mask[:, :, None]
     spec_target = batch["mel"].astype(jnp.float32) * m3
     losses["spec"] = (
-        _elem_loss(mcfg.mel_loss, output["output"] * m3, spec_target)
+        _elem_loss(mcfg.mel_loss, output["output"] * m3, spec_target, sw)
         * tcfg.mel_loss_weight
     )
     if mcfg.use_postnet:
         losses["postnet"] = (
-            _elem_loss(mcfg.mel_loss, output["postnet_output"] * m3, spec_target)
+            _elem_loss(mcfg.mel_loss, output["postnet_output"] * m3, spec_target, sw)
             * tcfg.postnet_loss_weight
         )
 
@@ -102,7 +123,8 @@ def compute_loss(
     if mcfg.learn_alignment:
         losses["attn_ctc"] = (
             attention_ctc_loss(
-                output["attn_logprob"], batch["src_lens"], batch["mel_lens"]
+                output["attn_logprob"], batch["src_lens"], batch["mel_lens"],
+                sample_weight=sw,
             )
             * tcfg.attn_ctc_loss_weight
         )
@@ -112,7 +134,9 @@ def compute_loss(
             1.0,
         )
         losses["attn_bin"] = (
-            attention_binarization_loss(output["attn_hard"], output["attn_soft"])
+            attention_binarization_loss(
+                output["attn_hard"], output["attn_soft"], sample_weight=sw
+            )
             * bin_warmup
             * tcfg.attn_bin_loss_weight
         )

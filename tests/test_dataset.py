@@ -126,3 +126,89 @@ def test_collate_inference_no_mel():
     assert batch["mel_lens"] is None
     assert "mel" not in batch
     assert batch["text"].shape == (1, 16)
+
+
+def test_collate_variance_level_from_config_not_shape():
+    """Phone-level pitch/energy must pad to L when the config says so, even
+    when the artifact length is within one frame of the mel length (shape
+    inference would silently flip the branch — round-2 verdict, weak #3)."""
+    base = {
+        "basename": "x", "speaker": "default", "speaker_id": 0,
+        "language": "default", "language_id": 0, "raw_text": "ab",
+        "duration_control": 1.0, "is_last_input_chunk": True,
+    }
+    # text len 8, mel len 9, phone-level pitch len 8 (== mel_len - 1)
+    s = dict(
+        base,
+        text=np.arange(1, 9, dtype=np.int32),
+        mel=np.zeros((9, 4), dtype=np.float32),
+        pitch=np.ones(8, dtype=np.float32),
+        energy=np.ones(8, dtype=np.float32),
+        duration=np.array([1, 1, 1, 1, 1, 1, 1, 2], dtype=np.int32),
+    )
+    batch = collate(
+        [s], pad_text_to=16, pad_mel_to=32, learn_alignment=False,
+        variance_levels={"pitch": "phone", "energy": "phone"},
+    )
+    assert batch["pitch"].shape == (1, 16)
+    assert batch["energy"].shape == (1, 16)
+    # frame-level per config pads to T even when lengths look phone-like
+    batch = collate(
+        [s], pad_text_to=16, pad_mel_to=32, learn_alignment=False,
+        variance_levels={"pitch": "frame", "energy": "frame"},
+    )
+    assert batch["pitch"].shape == (1, 32)
+    assert batch["energy"].shape == (1, 32)
+
+
+def test_partial_batch_fill_has_zero_sample_weight(tmp_path):
+    """The last partial batch of a bucket is filled to the static batch size
+    with zero-weight rows (no double gradient counting)."""
+    cfg = tiny_config()
+    cfg.preprocessing.save_dir = tmp_path
+    items = make_items(5)
+    write_artifacts(cfg, items, np.random.default_rng(0))
+    ds = FastSpeechDataset(items, cfg, {"default": 0, "lang2": 1}, {"default": 0})
+    loader = BucketedLoader(ds, batch_size=2, n_buckets=1, seed=0)
+    weights = []
+    for batch in loader:
+        assert batch["sample_weight"].shape == (2,)
+        weights.append(batch["sample_weight"])
+    total_real = sum(int(w.sum()) for w in weights)
+    assert total_real == 5  # every real sample counted exactly once
+    assert any((w == 0.0).any() for w in weights)  # the odd one out is filled
+
+
+def test_length_cache_roundtrip_and_invalidation(tmp_path):
+    """BucketedLoader caches (text_lens, mel_lens) to a sidecar keyed on the
+    filelist + spec mtimes; a re-preprocessed spec invalidates it."""
+    import os
+    import time
+
+    cfg = tiny_config()
+    cfg.preprocessing.save_dir = tmp_path
+    items = make_items(6)
+    write_artifacts(cfg, items, np.random.default_rng(0))
+    ds = FastSpeechDataset(items, cfg, {"default": 0, "lang2": 1}, {"default": 0})
+    l1 = BucketedLoader(ds, batch_size=2, n_buckets=2, seed=0)
+    cache_dir = tmp_path / ".lengths_cache"
+    assert len(list(cache_dir.glob("*.npz"))) == 1
+
+    # second construction hits the cache and yields identical lengths
+    l2 = BucketedLoader(ds, batch_size=2, n_buckets=2, seed=0)
+    np.testing.assert_array_equal(l1.mel_lens, l2.mel_lens)
+    np.testing.assert_array_equal(l1.text_lens, l2.text_lens)
+    assert len(list(cache_dir.glob("*.npz"))) == 1
+
+    # rewrite one spec with a different length -> cache key changes
+    a = cfg.preprocessing.audio
+    from fastspeech2_lightning_tpu.preprocessing.pipeline import SEP as _SEP
+    name = _SEP.join(["utt0", "default", "default",
+                      f"spec-{a.input_sampling_rate}-{a.spec_type}.npy"])
+    p = tmp_path / "spec" / name
+    time.sleep(0.01)
+    np.save(p, np.zeros((a.n_mels, 77), dtype=np.float32))
+    os.utime(p)
+    l3 = BucketedLoader(ds, batch_size=2, n_buckets=2, seed=0)
+    assert l3.mel_lens[0] == 77
+    assert len(list(cache_dir.glob("*.npz"))) == 2

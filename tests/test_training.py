@@ -211,3 +211,41 @@ def test_freeze_components_unknown_name_raises():
 
     with pytest.raises(ValueError, match="not found"):
         freeze_mask({"encoder": {"w": np.zeros(2)}}, ["enc0der"])
+
+
+def test_zero_weight_fill_matches_real_batch_loss():
+    """A batch padded with zero-sample_weight filler rows must produce the
+    SAME loss as the batch of only the real rows (the reference's drop_last /
+    smaller-final-batch gradient semantics at a static shape)."""
+    from fastspeech2_lightning_tpu.training.step import make_eval_step
+
+    cfg = tiny_config(learn_alignment=True)
+    model = FastSpeech2(
+        config=cfg, stats=tiny_stats(), n_symbols=30, n_speakers=1, n_languages=1
+    )
+    rng = np.random.default_rng(3)
+    batch = synthetic_batch(rng, B=2, L=8, T=32)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
+    eval_step = make_eval_step(cfg, model)
+
+    real = dict(batch)
+    real["sample_weight"] = np.ones(2, dtype=np.float32)
+    losses_real, _ = eval_step(state, real, 1)
+
+    # duplicate row 0 twice as filler with weight 0
+    filled = {}
+    for k, v in batch.items():
+        if v is None:
+            filled[k] = None
+        elif hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] == 2:
+            filled[k] = np.concatenate([v, v[:1], v[:1]], axis=0)
+        else:
+            filled[k] = v
+    filled["sample_weight"] = np.array([1, 1, 0, 0], dtype=np.float32)
+    losses_filled, _ = eval_step(state, filled, 1)
+
+    for k in losses_real:
+        np.testing.assert_allclose(
+            float(losses_real[k]), float(losses_filled[k]), rtol=2e-5,
+            err_msg=f"loss {k} changed under zero-weight fill",
+        )
