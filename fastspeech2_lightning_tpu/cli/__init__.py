@@ -78,9 +78,20 @@ def preprocess(config_file: Path, steps, cpus, on_device_spec, config_args):
 )
 def train(config_file: Path, config_args, max_steps, resume, model_parallel, distributed):
     if distributed:
+        import os
+
         import jax
 
-        jax.distributed.initialize()
+        # cluster environments (GKE/SLURM/TPU pods) are auto-detected by
+        # initialize(); manual launches pass the coordinator explicitly
+        kwargs = {}
+        if os.environ.get("FS2T_COORDINATOR_ADDRESS"):
+            kwargs = dict(
+                coordinator_address=os.environ["FS2T_COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ["FS2T_NUM_PROCESSES"]),
+                process_id=int(os.environ["FS2T_PROCESS_ID"]),
+            )
+        jax.distributed.initialize(**kwargs)
     from ..config import load_config_base_command
     from ..training.loop import Trainer
 
@@ -369,9 +380,12 @@ def benchmark(
               default=Path("checked_data"))
 @click.option("--objective-evaluation/--no-objective-evaluation", default=False,
               help="SQUIM STOI/PESQ/SI-SDR metrics (requires torchaudio).")
+@click.option("--clip-detection/--no-clip-detection", default=False,
+              help="Thorough consecutive-run clipping detection (slower; "
+              "the reference's clipdetect path).")
 @_config_args_option
 def check_data(config_file: Path, filelist, calculate_stats, model_path,
-               output_dir, objective_evaluation, config_args):
+               output_dir, objective_evaluation, clip_detection, config_args):
     from ..config import load_config_base_command
     from ..cli.check_data import check_data_command
 
@@ -379,6 +393,7 @@ def check_data(config_file: Path, filelist, calculate_stats, model_path,
     check_data_command(
         config, filelist, calculate_stats, model_path, Path(output_dir),
         objective_evaluation=objective_evaluation,
+        clip_detection=clip_detection,
     )
 
 

@@ -4,6 +4,7 @@ from .mesh import (
     shard_state,
     batch_pspec,
     param_pspec_tree,
+    opt_pspec_tree,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "shard_state",
     "batch_pspec",
     "param_pspec_tree",
+    "opt_pspec_tree",
 ]

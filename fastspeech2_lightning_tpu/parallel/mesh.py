@@ -80,6 +80,36 @@ def param_pspec_tree(params) -> dict:
     return jax.tree_util.tree_unflatten(treedef, specs)
 
 
+def opt_pspec_tree(opt_state, params):
+    """PartitionSpec tree for an optax state.
+
+    Any subtree whose pytree structure equals the params' (the Adam moments
+    mu/nu inside ScaleByAdamState, EMA traces, …) gets the params' specs, so
+    a model-sharded param's moments live sharded next to it instead of being
+    replicated (2x param bytes of wasted HBM per device at TP scale, plus a
+    GSPMD reshard every update). Scalars (step counts) and empty states are
+    replicated."""
+    pspecs = param_pspec_tree(params)
+    params_def = jax.tree_util.tree_structure(params)
+
+    def rec(node):
+        if node is None:
+            return None
+        if isinstance(node, dict) or (
+            hasattr(node, "items") and hasattr(node, "keys")
+        ):
+            if jax.tree_util.tree_structure(node) == params_def:
+                return pspecs
+            return {k: rec(v) for k, v in node.items()}
+        if isinstance(node, tuple) and hasattr(node, "_fields"):  # NamedTuple
+            return type(node)(*[rec(getattr(node, f)) for f in node._fields])
+        if isinstance(node, (tuple, list)):
+            return type(node)(rec(c) for c in node)
+        return P()
+
+    return rec(opt_state)
+
+
 def _validated_spec(spec: P, leaf, mesh: Mesh) -> P:
     """Drop model-axis sharding for dims that don't divide evenly."""
     if spec == P():
@@ -122,15 +152,19 @@ def shard_state(state, mesh: Mesh):
             return x
         return jax.device_put(x, NamedSharding(mesh, P()))
 
-    # optimizer state mirrors params where shapes match, else replicated
-    def put_opt(x):
+    # optimizer state mirrors the params' placement (opt_pspec_tree); leaves
+    # without a param counterpart (counts) are replicated
+    opt_specs = opt_pspec_tree(state.opt_state, state.params)
+
+    def put_opt(x, spec):
         if x is None or not hasattr(x, "shape"):
             return x
-        return jax.device_put(x, NamedSharding(mesh, P()))
+        spec = _validated_spec(spec, x, mesh)
+        return jax.device_put(x, NamedSharding(mesh, spec))
 
     new_state = state.replace(
         params=params,
-        opt_state=jax.tree_util.tree_map(put_opt, state.opt_state),
+        opt_state=jax.tree_util.tree_map(put_opt, state.opt_state, opt_specs),
         batch_stats=jax.tree_util.tree_map(put_repl, state.batch_stats)
         if state.batch_stats is not None
         else None,

@@ -24,13 +24,16 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def build_state_and_batch(B=8):
-    cfg = tiny_config()
+def build_state_and_batch(B=8, **model_overrides):
+    cfg = tiny_config(**model_overrides)
     model = FastSpeech2(
         config=cfg, stats=tiny_stats(), n_symbols=30, n_speakers=1, n_languages=1
     )
     rng = np.random.default_rng(0)
-    batch = synthetic_batch(rng, B=B, L=16, T=32)
+    batch = synthetic_batch(
+        rng, B=B, L=16, T=32,
+        learn_alignment=cfg.model.learn_alignment,
+    )
     state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
     return cfg, model, state, batch
 
@@ -104,33 +107,67 @@ def test_train_step_dp_matches_single_device():
         )
 
 
+def _model_sharded_leaves(tree):
+    def is_sharded(x):
+        spec = getattr(getattr(x, "sharding", None), "spec", None)
+        return spec is not None and "model" in tuple(spec)
+
+    return [x for x in jax.tree_util.tree_leaves(tree) if is_sharded(x)]
+
+
 def test_train_step_tensor_parallel_executes():
+    from fastspeech2_lightning_tpu.parallel import shard_state
+
     mesh = make_mesh(8, model_parallel=2)
     cfg, model, state, batch = build_state_and_batch()
-    pspecs = param_pspec_tree(state.params)
-    params = jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(
-            x, NamedSharding(mesh, _validated_spec(s, x, mesh))
-        ),
-        state.params,
-        pspecs,
-    )
-    repl = NamedSharding(mesh, P())
-    state = state.replace(
-        params=params,
-        opt_state=jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, repl) if hasattr(x, "shape") else x,
-            state.opt_state,
-        ),
-        batch_stats=jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, repl), state.batch_stats
-        ),
-    )
+    state = shard_state(state, mesh)
+    # a model-sharded param's Adam moments must be sharded alongside it
+    # (not replicated: 2x param HBM waste + a reshard per update)
+    assert _model_sharded_leaves(state.params)
+    assert len(_model_sharded_leaves(state.opt_state)) >= 2  # mu and nu
     sharded = shard_batch(batch, mesh)
     ts = make_train_step(cfg, model)
     with mesh:
         new_state, losses = ts(state, sharded, jax.random.PRNGKey(1), 0)
     assert np.isfinite(float(losses["total"]))
+    # updated moments keep their sharding (no GSPMD resharding drift)
+    assert len(_model_sharded_leaves(new_state.opt_state)) >= 2
+
+
+def test_eval_step_tensor_parallel_matches_single_device():
+    """TP forward == single-device forward. The continuous pre-bucketize
+    outputs must match tightly; end-to-end losses only loosely, because
+    TP's reordered psum accumulation can flip a variance `bucketize` bin
+    (and a MAS Viterbi tie) by ~1e-6, swapping an embedding row — a
+    discrete amplification that is expected, not a sharding bug."""
+    from fastspeech2_lightning_tpu.parallel import shard_state
+    from fastspeech2_lightning_tpu.training.step import make_eval_step
+
+    cfg, model, state, batch = build_state_and_batch(learn_alignment=False)
+    es = make_eval_step(cfg, model)
+    losses1, out1 = es(state, batch, 0)
+
+    mesh = make_mesh(8, model_parallel=2)
+    _, _, state2, _ = build_state_and_batch(learn_alignment=False)
+    state2 = shard_state(state2, mesh)
+    assert len(_model_sharded_leaves(state2.opt_state)) >= 2
+    sharded = shard_batch(batch, mesh)
+    es2 = make_eval_step(cfg, model)
+    with mesh:
+        losses8, out8 = es2(state2, sharded, 0)
+
+    # energy runs first on the raw encoder output: fully continuous, but the
+    # conformer computes in bf16, so a split contraction carries bf16
+    # accumulation-order noise (~1e-2) — tolerance sized to bf16, not f32
+    np.testing.assert_allclose(
+        np.asarray(out1["energy_prediction"]),
+        np.asarray(out8["energy_prediction"]),
+        rtol=0.06, atol=0.06,
+    )
+    for k in losses1:
+        np.testing.assert_allclose(
+            float(losses1[k]), float(losses8[k]), rtol=2e-2, atol=1e-4
+        )
 
 
 @pytest.mark.slow
