@@ -61,7 +61,7 @@ class FeedForwardModule(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool):
         d = x.shape[-1]
-        x = nn.LayerNorm(name="norm", dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=self.dtype)(x)
         x = nn.Dense(self.ffn_dim, name="linear1", dtype=self.dtype)(x)
         x = nn.silu(x)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
@@ -102,7 +102,7 @@ class SelfAttentionModule(nn.Module):
         attn_drop = (
             self.dropout if self.attention_dropout < 0 else self.attention_dropout
         )
-        x = nn.LayerNorm(name="norm", dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=self.dtype)(x)
         qkv = nn.Dense(3 * d, name="qkv", dtype=self.dtype)(x)  # fused projection
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, T, h, dh)
@@ -162,7 +162,7 @@ class SelfAttentionModule(nn.Module):
                 -(2 ** 31), 2 ** 31 - 1, jnp.int32,
             )
             key_bias = jnp.where(mask, 0.0, attn_do.NEG_INF)
-            out = attn_do.attention_with_dropout(
+            out = attn_do.attention_with_dropout_padded(
                 q.transpose(0, 2, 1, 3),
                 k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3),
@@ -194,7 +194,7 @@ class ConvolutionModule(nn.Module):
     @nn.compact
     def __call__(self, x, mask, deterministic: bool):
         d = x.shape[-1]
-        x = nn.LayerNorm(name="norm", dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=self.dtype)(x)
         x = nn.Dense(2 * d, name="pointwise1", dtype=self.dtype)(x)
         x = nn.glu(x, axis=-1)
         # keep padding out of the depthwise receptive field
@@ -239,7 +239,7 @@ class ConformerLayer(nn.Module):
         x = x + 0.5 * FeedForwardModule(
             self.ffn_dim, self.dropout, dtype=dt, name="ffn2"
         )(x, deterministic)
-        x = nn.LayerNorm(name="final_norm", dtype=dt)(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="final_norm", dtype=dt)(x)
         return x
 
 

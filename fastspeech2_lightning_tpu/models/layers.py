@@ -94,7 +94,7 @@ class VarianceConvolutionLayer(nn.Module):
                 dtype=self.dtype,
             )(x)
         x = nn.relu(x)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         return x
 

@@ -290,13 +290,30 @@ def import_torch_fastspeech2(
     # account for unused reference keys (buffers we recompute, etc.)
     known_unused = [
         "position_embedding.inv_freq",
-        "variance_adaptor.pitch_bins",
-        "variance_adaptor.energy_bins",
     ]
     for k in known_unused:
         if k not in sd:
             warnings.append(f"expected reference buffer not present: {k}")
     return params, batch_stats, warnings
+
+
+def extract_constants(state_dict: dict) -> dict:
+    """Bit-exact buffers for the 'constants' variable collection.
+
+    The reference stores pitch_bins/energy_bins as (frozen) nn.Parameters
+    (fs2/variance_adaptor.py:117-148); torch.linspace's f32 rounding differs
+    from jnp.linspace in the last ulp, which flips torch.bucketize on
+    boundary-exact variance targets — so imported checkpoints must carry
+    their own bins rather than recompute them."""
+    out: Dict = {}
+    va: Dict = {}
+    for name in ("pitch_bins", "energy_bins"):
+        key = f"variance_adaptor.{name}"
+        if key in state_dict:
+            va[name] = _t(state_dict, key)
+    if va:
+        out["variance_adaptor"] = va
+    return out
 
 
 def import_torch_checkpoint(ckpt_path, config):

@@ -71,11 +71,14 @@ class VarianceAdaptor(nn.Module):
             vp.energy.n_bins, vp.energy.input_dim, name="energy_embedding", dtype=dt
         )
         # bin boundaries are fixed buffers derived from corpus stats
-        # (fs2/variance_adaptor.py:117-124)
-        self.pitch_bins = jnp.linspace(
+        # (fs2/variance_adaptor.py:117-124); imported reference checkpoints
+        # override them through the 'constants' collection because
+        # torch.linspace's f32 rounding differs from jnp.linspace in the
+        # last ulp, which flips torch.bucketize on boundary-exact targets
+        self._default_pitch_bins = jnp.linspace(
             self.stats.pitch.norm_min, self.stats.pitch.norm_max, vp.pitch.n_bins - 1
         )
-        self.energy_bins = jnp.linspace(
+        self._default_energy_bins = jnp.linspace(
             self.stats.energy.norm_min, self.stats.energy.norm_max, vp.energy.n_bins - 1
         )
         if mcfg.learn_alignment:
@@ -87,6 +90,18 @@ class VarianceAdaptor(nn.Module):
                 align_query_enc_type="3xconv",
                 name="attention",
             )
+
+    @property
+    def pitch_bins(self):
+        if self.has_variable("constants", "pitch_bins"):
+            return self.get_variable("constants", "pitch_bins")
+        return self._default_pitch_bins
+
+    @property
+    def energy_bins(self):
+        if self.has_variable("constants", "energy_bins"):
+            return self.get_variable("constants", "energy_bins")
+        return self._default_energy_bins
 
     def _variance_embedding(
         self,

@@ -194,10 +194,43 @@ def _attention_bwd(p, sm_scale, res, do):
 attention_with_dropout.defvjp(_attention_fwd, _attention_bwd)
 
 
+def _round_up_128(n: int) -> int:
+    return ((n + 127) // 128) * 128
+
+
+def attention_with_dropout_padded(q, k, v, key_bias, seed, p, sm_scale):
+    """Caller-proof wrapper: pad T and dh up to 128 multiples, run the
+    kernel, slice back.
+
+    Real training batches pad text to multiples of 16 and mel to 32
+    (dataset.PAD_MULT_*), and 4-head d=256 configs have dh=64 — without this
+    wrapper the kernel only fired on benchmark-shaped inputs. Zero-padding dh
+    leaves QKᵀ scores and the PV product unchanged; padded key positions are
+    masked via NEG_INF bias; padded query rows are sliced off (their
+    cotangents are zero under autodiff, so dk/dv stay exact). dh padding
+    doubles the two matmuls' contraction work for dh=64, which still beats
+    materializing [B, h, T, T] in HBM by a wide margin.
+    """
+    B, H, T, dh = q.shape
+    Tp, dhp = _round_up_128(T), _round_up_128(dh)
+    if Tp == T and dhp == dh:
+        return attention_with_dropout(q, k, v, key_bias, seed, p, sm_scale)
+    pad4 = ((0, 0), (0, 0), (0, Tp - T), (0, dhp - dh))
+    qp = jnp.pad(q, pad4)
+    kp = jnp.pad(k, pad4)
+    vp = jnp.pad(v, pad4)
+    bias = jnp.pad(
+        key_bias, ((0, 0), (0, Tp - T)), constant_values=NEG_INF
+    )
+    o = attention_with_dropout(qp, kp, vp, bias, seed, p, sm_scale)
+    return o[:, :, :T, :dh]
+
+
 def supported(T: int, dh: int) -> bool:
-    """Full-VMEM (non-streaming) bound: S/prob/mask resident per (b, h)."""
-    if T % 128 != 0 or dh % 128 != 0:
-        return False
-    if 6 * T * T * 4 > 56 << 20:  # T <= ~1536
+    """Full-VMEM (non-streaming) bound: S/prob/mask resident per (b, h).
+    Arbitrary T/dh are handled by attention_with_dropout_padded; the bound
+    applies to the 128-padded sequence length."""
+    Tp = _round_up_128(T)
+    if 6 * Tp * Tp * 4 > 56 << 20:  # Tp <= ~1536
         return False
     return not _interpret()

@@ -39,9 +39,16 @@ def average_variance(var: jnp.ndarray, durs: jnp.ndarray) -> jnp.ndarray:
 
 
 def bucketize(values: jnp.ndarray, boundaries: jnp.ndarray) -> jnp.ndarray:
-    """torch.bucketize(v, b) parity: index i s.t. b[i-1] < v <= b[i]
-    (= searchsorted side='left'). Vectorized comparison-sum — searchsorted
-    lowers to a sequential while-loop on TPU."""
+    """torch.bucketize(v, b) parity (default right=False): the count of
+    boundaries strictly below v, i.e. b[i-1] < v <= b[i] (= searchsorted
+    side='left'; verified bit-for-bit against torch on exact-boundary
+    values, incl. v == b[0] -> 0). Vectorized comparison-sum — searchsorted
+    lowers to a sequential while-loop on TPU.
+
+    NOTE: checkpoint-parity requires the *boundaries* to match bit-exactly
+    too — torch.linspace's f32 rounding differs from jnp.linspace in the
+    last ulp, so imported reference checkpoints carry their own bins (the
+    'constants' collection, models/torch_import.extract_constants)."""
     flat = values.reshape(-1)
     idx = jnp.sum(
         boundaries[None, :] < flat[:, None], axis=-1, dtype=jnp.int32

@@ -105,3 +105,66 @@ def test_dropout_deterministic_per_seed_and_seed_sensitive():
         )
     )(q)
     assert bool(jnp.all(jnp.isfinite(g.astype(jnp.float32))))
+
+
+@pytest.mark.parametrize(
+    "t,dh",
+    [(200, 64), (256, 64), (200, 128), (96, 32), (512, 64)],
+)
+def test_padded_wrapper_matches_reference_on_odd_shapes(t, dh):
+    """attention_with_dropout_padded must equal the einsum reference for
+    ANY (T, dh) — real training batches pad mel to 32-multiples and 4-head
+    d=256 configs have dh=64, neither of which is 128-aligned."""
+    from fastspeech2_lightning_tpu.ops.attention_dropout import (
+        attention_with_dropout_padded,
+    )
+
+    sm = float(1.0 / np.sqrt(dh))
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((2, 2, t, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 2, t, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 2, t, dh)).astype(np.float32))
+    lens = np.array([t, max(t - 37, 1)])
+    key_bias = jnp.asarray(
+        np.where(np.arange(t)[None, :] < lens[:, None], 0.0, NEG_INF).astype(
+            np.float32
+        )
+    )
+    seed = jnp.asarray([5], jnp.int32)
+
+    def ref(q, k, v):
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * sm + key_bias[:, None, None, :]
+        w = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum(
+            "bhqk,bhkd->bhqd", w.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(q.dtype)
+
+    o = attention_with_dropout_padded(q, k, v, key_bias, seed, 0.0, sm)
+    assert o.shape == (2, 2, t, dh)
+    np.testing.assert_allclose(
+        np.asarray(o), np.asarray(ref(q, k, v)), atol=5e-3, rtol=5e-3
+    )
+
+    gk = jax.grad(
+        lambda q, k, v: jnp.sum(
+            attention_with_dropout_padded(q, k, v, key_bias, seed, 0.0, sm)
+            ** 2
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gr = jax.grad(
+        lambda q, k, v: jnp.sum(ref(q, k, v) ** 2), argnums=(0, 1, 2)
+    )(q, k, v)
+    for a, b in zip(gk, gr):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-3
+        )
+
+
+def test_supported_covers_unaligned_shapes():
+    assert supported(992, 64) == supported(1024, 128)  # padding handles both
+    assert not supported(2048, 128)  # streaming variant not built yet

@@ -76,6 +76,11 @@ def main():
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
+    from fastspeech2_lightning_tpu.models.torch_import import extract_constants
+
+    constants = extract_constants(ckpt["state_dict"])
+    if constants:
+        variables["constants"] = constants
     out = model.apply(variables, device_batch, deterministic=True)
     key = "postnet_output" if config.model.use_postnet else "output"
     ours = np.asarray(out[key])
