@@ -47,6 +47,7 @@ def check_datapoint(
     preprocessor: Preprocessor,
     word_seg_token: str = " ",
     objective_evaluation: bool = False,
+    heavy_clip_detection: bool = False,
 ) -> dict:
     data_point = dict(item)
     characters = item.get("characters") or item.get("text")
@@ -95,9 +96,17 @@ def check_datapoint(
             metrics = estimate_quality(audio, a.input_sampling_rate)
         data_point.update(metrics)
 
-    # cheap clipping detection (check_data_heavy.py:64-72)
-    audio_max, audio_min = audio.max(), audio.min()
-    total_clipping = int((audio >= audio_max).sum() + (audio <= audio_min).sum() - 2)
+    if heavy_clip_detection:
+        # consecutive-run detector (clipdetect parity, check_data_heavy.py:62-63)
+        from ..preprocessing.objective import detect_clipping
+
+        _, total_clipping = detect_clipping(audio)
+    else:
+        # cheap clipping detection (check_data_heavy.py:64-72)
+        audio_max, audio_min = audio.max(), audio.min()
+        total_clipping = int(
+            (audio >= audio_max).sum() + (audio <= audio_min).sum() - 2
+        )
 
     pitch = np.load(
         preprocessor.artifact_path("pitch", item["basename"], speaker, language, "pitch.npy")
@@ -135,9 +144,13 @@ def check_data_from_filelist(
     filelist: List[dict],
     word_seg_token: str = " ",
     objective_evaluation: bool = False,
+    heavy_clip_detection: bool = False,
 ) -> List[dict]:
     return [
-        check_datapoint(item, preprocessor, word_seg_token, objective_evaluation)
+        check_datapoint(
+            item, preprocessor, word_seg_token, objective_evaluation,
+            heavy_clip_detection,
+        )
         for item in filelist
     ]
 
@@ -180,6 +193,7 @@ def check_data_command(
     model_path: Optional[Path],
     output_dir: Path,
     objective_evaluation: bool = False,
+    clip_detection: bool = False,
 ) -> None:
     preprocessor = Preprocessor(config)
     output_dir.mkdir(exist_ok=True, parents=True)
@@ -193,7 +207,8 @@ def check_data_command(
 
     if calculate_stats:
         stats = check_data_from_filelist(
-            preprocessor, combined, objective_evaluation=objective_evaluation
+            preprocessor, combined, objective_evaluation=objective_evaluation,
+            heavy_clip_detection=clip_detection,
         )
         if not stats:
             print("Sorry, the data is empty so there is nothing to check.")

@@ -160,16 +160,97 @@ def _spectral_subtract(audio: np.ndarray, sr: int) -> np.ndarray:
     return out / np.maximum(norm, 1e-8)
 
 
+def pesq_proxy(clean: np.ndarray, degraded: np.ndarray, sr: int) -> float:
+    """PESQ-family MOS estimate (intrusive, P.862-inspired — NOT ITU PESQ).
+
+    Pipeline: level-align both arms, Bark-spaced loudness spectra (power 0.23
+    compression as in P.862's loudness mapping), symmetric + asymmetric
+    disturbance averages, mapped through a PESQ-shaped logistic to the
+    [1.02, 4.56] MOS-LQO range. Useful for *ranking* utterances in data QA
+    (the reference's check-data uses SQUIM's neural PESQ the same way,
+    fs2/cli/check_data_heavy.py:46-55); not comparable to ITU PESQ scores in
+    absolute terms."""
+    x = _resample(np.asarray(clean, np.float64), sr, _STOI_SR)
+    y = _resample(np.asarray(degraded, np.float64), sr, _STOI_SR)
+    n = min(len(x), len(y))
+    x, y = x[:n], y[:n]
+    # level alignment
+    y = y * (np.linalg.norm(x) / (np.linalg.norm(y) + 1e-12))
+    xf, yf = _frames(x), _frames(y)
+    if len(xf) < 4:
+        return float("nan")
+    # silent-frame removal on the clean arm
+    energy = 20.0 * np.log10(np.linalg.norm(xf, axis=1) + 1e-12)
+    keep = energy > energy.max() - _DYN_RANGE
+    xf, yf = xf[keep], yf[keep]
+    if len(xf) < 4:
+        return float("nan")
+    X = np.abs(np.fft.rfft(xf, _NFFT, axis=1)) ** 2  # [F, bins] power
+    Y = np.abs(np.fft.rfft(yf, _NFFT, axis=1)) ** 2
+    # Bark-spaced triangular-ish bands via the 1/3-octave matrix (denser
+    # low-frequency resolution, the property the Bark scale supplies)
+    band = _third_octave_matrix(_STOI_SR)
+    Xb = X @ band.T + 1e-10  # [F, 15] band powers
+    Yb = Y @ band.T + 1e-10
+    # loudness compression (Zwicker exponent as used by P.862)
+    Lx = Xb ** 0.23
+    Ly = Yb ** 0.23
+    d = Ly - Lx
+    sym = np.sqrt(np.mean(d**2))
+    # asymmetric disturbance: additive artifacts (Y >> X) weigh more
+    asym_w = np.clip((Yb / Xb) ** 0.3, 1.0, 12.0)
+    asym = np.mean(np.abs(d) * asym_w)
+    raw = sym + 0.4 * asym
+    # logistic map to the PESQ MOS-LQO range
+    return float(1.02 + 3.54 / (1.0 + np.exp(2.2 * (raw - 1.2))))
+
+
+def detect_clipping(
+    audio: np.ndarray, min_run: int = 2, rail_tol: float = 1e-4
+) -> tuple[list[tuple[int, int]], int]:
+    """Consecutive-sample clipping detector (clipdetect-equivalent; the
+    reference's heavy path, fs2/cli/check_data_heavy.py:62-63).
+
+    Digital clipping pins consecutive samples AT the rail, so a clipped
+    region is a run of >= `min_run` consecutive samples within
+    `rail_tol` x dynamic-range of the recording's extreme (either rail) —
+    a smooth waveform passes a rail once per cycle, never dwelling on it.
+    Returns (list of [start, end) intervals, total clipped samples) — the
+    same (intervals, count) contract as clipdetect.detect_clipping."""
+    x = np.asarray(audio, np.float64)
+    if len(x) == 0:
+        return [], 0
+    hi, lo = x.max(), x.min()
+    tol = max(rail_tol * (hi - lo), 1e-12)
+    pinned = (x >= hi - tol) | (x <= lo + tol)
+    # run-length scan over the pinned mask
+    idx = np.flatnonzero(pinned)
+    if len(idx) == 0:
+        return [], 0
+    breaks = np.flatnonzero(np.diff(idx) > 1)
+    run_starts = np.concatenate([[0], breaks + 1])
+    run_ends = np.concatenate([breaks, [len(idx) - 1]])
+    intervals = []
+    total = 0
+    for s, e in zip(run_starts, run_ends):
+        length = int(e - s + 1)
+        if length >= min_run:
+            intervals.append((int(idx[s]), int(idx[e]) + 1))
+            total += length
+    return intervals, total
+
+
 def estimate_quality(audio: np.ndarray, sr: int) -> dict:
     """Reference-free quality estimates for data QA.
 
     The denoised signal acts as the clean arm: `stoi` is the intelligibility
     of the raw audio against it, `si_sdr` the raw audio's SI-SDR against it
-    (an SNR proxy). `pesq` is None — no non-neural reference-free PESQ
-    exists; install torchaudio for SQUIM-based estimates."""
+    (an SNR proxy), and `pesq` is the PESQ-family proxy MOS of the raw audio
+    against it (see pesq_proxy: ranking-grade, not ITU-comparable; install
+    torchaudio for SQUIM's neural estimates)."""
     clean = _spectral_subtract(audio, sr)
     return {
         "stoi": stoi(clean, audio, sr),
         "si_sdr": si_sdr(np.asarray(audio, np.float64), clean),
-        "pesq": None,
+        "pesq": pesq_proxy(clean, audio, sr),
     }

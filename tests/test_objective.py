@@ -68,7 +68,8 @@ def test_estimate_quality_flags_noisy_audio():
     noisy = clean + 0.5 * rng.standard_normal(len(clean))
     q_clean = estimate_quality(clean, SR)
     q_noisy = estimate_quality(noisy, SR)
-    assert q_clean["pesq"] is None and q_noisy["pesq"] is None
+    # PESQ-family proxy: in-range and degrading with noise
+    assert 1.0 <= q_noisy["pesq"] <= q_clean["pesq"] <= 4.6
     assert q_clean["stoi"] > q_noisy["stoi"]
     assert q_clean["si_sdr"] > q_noisy["si_sdr"]
 
@@ -95,3 +96,50 @@ def test_check_data_writes_objective_metrics(tmp_path):
     for row in report:
         assert "stoi" in row and "si_sdr" in row
         assert np.isfinite(row["si_sdr"])
+
+
+def test_detect_clipping_finds_consecutive_runs():
+    from fastspeech2_lightning_tpu.preprocessing.objective import (
+        detect_clipping,
+    )
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    clean = 0.5 * np.sin(2 * np.pi * 220 * t)
+    intervals, total = detect_clipping(clean)
+    assert total <= 2  # a sine touches its extreme momentarily, no runs
+
+    clipped = np.clip(2.0 * clean, -0.6, 0.6)
+    intervals, total = detect_clipping(clipped)
+    assert total > 100  # broad flat rails
+    assert intervals and all(e > s for s, e in intervals)
+    # intervals really are pinned regions
+    for s, e in intervals[:5]:
+        seg = np.abs(clipped[s:e])
+        assert (seg >= 0.6 - 1e-3).all()
+
+    # single isolated extreme samples (no run) are not clipping
+    spiky = clean.copy()
+    spiky[100] = 0.9
+    spiky[5000] = -0.9
+    _, total = detect_clipping(spiky, min_run=2)
+    assert total == 0
+
+
+def test_pesq_proxy_ranks_degradation():
+    from fastspeech2_lightning_tpu.preprocessing.objective import pesq_proxy
+
+    rng = np.random.default_rng(0)
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    clean = (0.4 * np.sin(2 * np.pi * 220 * t)
+             * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t)))
+    noisy = clean + 0.1 * rng.standard_normal(len(clean))
+    very_noisy = clean + 0.5 * rng.standard_normal(len(clean))
+
+    s_clean = pesq_proxy(clean, clean, sr)
+    s_noisy = pesq_proxy(clean, noisy, sr)
+    s_very = pesq_proxy(clean, very_noisy, sr)
+    assert 1.0 <= s_very <= s_noisy <= s_clean <= 4.6
+    assert s_clean > 4.0  # identical arms score near the top of the range
+    assert s_clean - s_very > 0.5  # monotone, materially separated

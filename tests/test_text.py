@@ -87,3 +87,23 @@ def test_chunk_text_hard_wrap_no_boundaries():
     chunks = chunk_text(text, desired_length=100, max_length=120)
     assert all(len(c) <= 120 for c in chunks)
     assert sum(len(c) for c in chunks) == 500
+
+
+def test_pfs_table_matches_committed_golden():
+    """When a panphon-generated golden is committed (tools/pfs_golden.py
+    generate), the bundled articulatory table must match it exactly. Skips
+    until a golden exists — this sandbox has neither panphon nor its data."""
+    import importlib.util
+    import pathlib
+
+    import pytest
+
+    tool = pathlib.Path(__file__).parents[1] / "tools" / "pfs_golden.py"
+    spec = importlib.util.spec_from_file_location("pfs_golden", tool)
+    pg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pg)
+    report = pg.compare()
+    if report is None:
+        pytest.skip("no pfs golden committed (needs a panphon environment)")
+    bad = {k: v for k, v in report.items() if v}
+    assert not bad, bad
