@@ -40,6 +40,22 @@ from pathlib import Path
 
 import numpy as np
 
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache: repeat bench runs skip the 10-20 min
+    relay compiles of the big jitted programs."""
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            str(Path(__file__).parent / ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
 # TPU measurement batch: large enough that the chip, not per-call dispatch,
 # is the bottleneck (throughput scales ~linearly 16->128). The CPU baseline
 # uses CPU_B (eager torch is batch-insensitive per frame; a full B would just
@@ -83,6 +99,8 @@ def measure_tpu() -> tuple[float, float, float, float]:
     """
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from __graft_entry__ import _flagship_config, _make_model
     from fastspeech2_lightning_tpu.utils.benchmarking import (
@@ -288,7 +306,8 @@ def get_cpu_baseline() -> float:
     return fps
 
 
-TRAIN_B, TRAIN_T = 32, 1024
+TRAIN_B = int(os.environ.get("FS2T_TRAIN_B", "32"))
+TRAIN_T = int(os.environ.get("FS2T_TRAIN_T", "1024"))
 TRAIN_REPS = 15
 
 
@@ -303,6 +322,8 @@ def measure_training() -> dict:
     step; MFU hard-fails above 100%.
     """
     import jax
+
+    _enable_compile_cache()
 
     from __graft_entry__ import _flagship_config, _make_model, _train_batch
     from fastspeech2_lightning_tpu.training.state import create_train_state

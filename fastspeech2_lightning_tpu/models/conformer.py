@@ -73,7 +73,8 @@ class FeedForwardModule(nn.Module):
 def _attn_dropout_kernel_available(T: int, dh: int) -> bool:
     from ..ops import attention_dropout as attn_do
 
-    return attn_do.supported(T, dh)
+    # full-VMEM kernel below ~1536 frames, streaming kernel beyond
+    return attn_do.supported(T, dh) or attn_do.streaming_supported(T, dh)
 
 
 def _flash_attention_available(T: int, dh: int) -> bool:
@@ -162,7 +163,7 @@ class SelfAttentionModule(nn.Module):
                 -(2 ** 31), 2 ** 31 - 1, jnp.int32,
             )
             key_bias = jnp.where(mask, 0.0, attn_do.NEG_INF)
-            out = attn_do.attention_with_dropout_padded(
+            out = attn_do.attention_with_dropout_auto(
                 q.transpose(0, 2, 1, 3),
                 k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3),

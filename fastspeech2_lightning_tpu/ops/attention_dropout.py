@@ -229,8 +229,344 @@ def attention_with_dropout_padded(q, k, v, key_bias, seed, p, sm_scale):
 def supported(T: int, dh: int) -> bool:
     """Full-VMEM (non-streaming) bound: S/prob/mask resident per (b, h).
     Arbitrary T/dh are handled by attention_with_dropout_padded; the bound
-    applies to the 128-padded sequence length."""
+    applies to the 128-padded sequence length. Longer sequences use the
+    streaming kernel (attention_with_dropout_streaming)."""
     Tp = _round_up_128(T)
     if 6 * Tp * Tp * 4 > 56 << 20:  # Tp <= ~1536
         return False
     return not _interpret()
+
+
+# ---------------------------------------------------------------------------
+# Streaming (flash-style) variant for T beyond the full-VMEM bound
+# ---------------------------------------------------------------------------
+#
+# Dropout on attention PROBABILITIES under an online softmax: the running
+# normalizer l accumulates the UNMASKED exponentials while the accumulator
+# applies the per-element keep mask, so
+#     O_i = (sum_j keep_ij e^{s_ij} v_j) / ((1-p) * sum_j e^{s_ij})
+#         = sum_j [keep_ij softmax(s_i)_j / (1-p)] v_j
+# which is exactly dropout(softmax(s)) @ V with inverted scaling. The keep
+# mask for tile (qi, kj) is regenerated in the backward kernels from the
+# same (seed, b, h, qi, kj) PRNG stream. Residuals (row max m, normalizer l)
+# are saved by the forward pass, as in standard flash attention.
+
+BQ = 1024  # query block (8x128 sublane tiles for the residual layout)
+BK = 512   # key block
+
+
+def _tile_seed(seed_ref, b, h, qi, kj, nq, nk, H):
+    pltpu.prng_seed(seed_ref[0], ((b * H + h) * nq + qi) * nk + kj)
+
+
+def _sfwd_kernel(
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref,
+    acc_s, m_s, l_s, *, p, sm_scale, H,
+):
+    b, h = pl.program_id(0), pl.program_id(1)
+    qi, kj = pl.program_id(2), pl.program_id(3)
+    nq, nk = pl.num_programs(2), pl.num_programs(3)
+
+    @pl.when(kj == 0)
+    def _init():
+        m_s[...] = jnp.full_like(m_s, -jnp.inf)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    q = q_ref[0, 0]  # [BQ, dh]
+    k = k_ref[0, 0]  # [BK, dh]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * sm_scale + bias_ref[0, 0][None, :]
+
+    m_prev = m_s[...]  # [BQ, 1]
+    l_prev = l_s[...]
+    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_cur)
+    p_ij = jnp.exp(s - m_cur)
+    l_s[...] = l_prev * alpha + jnp.sum(p_ij, axis=1, keepdims=True)
+    m_s[...] = m_cur
+    if p > 0.0:
+        _tile_seed(seed_ref, b, h, qi, kj, nq, nk, H)
+        keep = _uniform_keep(p_ij.shape, p)
+        p_ij = jnp.where(keep, p_ij, 0.0)
+    acc_s[...] = acc_s[...] * alpha + jax.lax.dot_general(
+        p_ij.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kj == nk - 1)
+    def _emit():
+        l_fin = jnp.maximum(l_s[...], 1e-30)
+        o_ref[0, 0] = (acc_s[...] / ((1.0 - p) * l_fin)).astype(o_ref.dtype)
+        # residuals lane-broadcast to [BQ, 128] (Mosaic wants (8,128)-tiled
+        # blocks and cannot shape-cast a tile back to a column; writing the
+        # row value across lanes lets the backward read lane 0 directly)
+        m_ref[0, 0] = jnp.broadcast_to(m_s[...], (BQ, 128))
+        l_ref[0, 0] = jnp.broadcast_to(l_fin, (BQ, 128))
+
+
+def _sbwd_dq_kernel(
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, m_ref, l_ref, d_ref,
+    dq_ref, dq_s, *, p, sm_scale, H,
+):
+    b, h = pl.program_id(0), pl.program_id(1)
+    qi, kj = pl.program_id(2), pl.program_id(3)
+    nq, nk = pl.num_programs(2), pl.num_programs(3)
+
+    @pl.when(kj == 0)
+    def _init():
+        dq_s[...] = jnp.zeros_like(dq_s)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * sm_scale + bias_ref[0, 0][None, :]
+    m_row = m_ref[0, 0][:, 0:1]
+    l_row = l_ref[0, 0][:, 0:1]
+    f = jnp.exp(s - m_row) / l_row
+    dpd = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if p > 0.0:
+        _tile_seed(seed_ref, b, h, qi, kj, nq, nk, H)
+        keep = _uniform_keep(f.shape, p)
+        dprob = jnp.where(keep, dpd, 0.0) * (1.0 / (1.0 - p))
+    else:
+        dprob = dpd
+    ds = f * (dprob - d_ref[0, 0][:, 0:1])
+    dq_s[...] += jax.lax.dot_general(
+        (ds * sm_scale).astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kj == nk - 1)
+    def _emit():
+        dq_ref[0, 0] = dq_s[...].astype(dq_ref.dtype)
+
+
+def _sbwd_dkv_kernel(
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, m_ref, l_ref, d_ref,
+    dk_ref, dv_ref, dk_s, dv_s, *, p, sm_scale, H,
+):
+    b, h = pl.program_id(0), pl.program_id(1)
+    kj, qi = pl.program_id(2), pl.program_id(3)
+    nk, nq = pl.num_programs(2), pl.num_programs(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_s[...] = jnp.zeros_like(dk_s)
+        dv_s[...] = jnp.zeros_like(dv_s)
+
+    q = q_ref[0, 0]  # [BQ, dh]
+    k = k_ref[0, 0]  # [BK, dh]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * sm_scale + bias_ref[0, 0][None, :]
+    m_row = m_ref[0, 0][:, 0:1]
+    l_row = l_ref[0, 0][:, 0:1]
+    f = jnp.exp(s - m_row) / l_row  # [BQ, BK]
+    if p > 0.0:
+        _tile_seed(seed_ref, b, h, qi, kj, nq, nk, H)
+        keep = _uniform_keep(f.shape, p)
+        fm = jnp.where(keep, f, 0.0) * (1.0 / (1.0 - p))
+    else:
+        fm = f
+    dv_s[...] += jax.lax.dot_general(
+        fm.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dpd = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if p > 0.0:
+        dprob = jnp.where(keep, dpd, 0.0) * (1.0 / (1.0 - p))
+    else:
+        dprob = dpd
+    ds = f * (dprob - d_ref[0, 0][:, 0:1])  # [BQ, BK]
+    dk_s[...] += jax.lax.dot_general(
+        (ds * sm_scale).astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qi == nq - 1)
+    def _emit():
+        dk_ref[0, 0] = dk_s[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_s[...].astype(dv_ref.dtype)
+
+
+def _stream_specs(B, H, T, dh):
+    qb = pl.BlockSpec(
+        (1, 1, BQ, dh), lambda b, h, qi, kj: (b, h, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kb = pl.BlockSpec(
+        (1, 1, BK, dh), lambda b, h, qi, kj: (b, h, kj, 0),
+        memory_space=pltpu.VMEM,
+    )
+    bias = pl.BlockSpec(
+        (1, 1, BK), lambda b, h, qi, kj: (b, 0, kj), memory_space=pltpu.VMEM
+    )
+    ob = pl.BlockSpec(
+        (1, 1, BQ, dh), lambda b, h, qi, kj: (b, h, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    row = pl.BlockSpec(
+        (1, 1, BQ, 128), lambda b, h, qi, kj: (b, h, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return qb, kb, bias, ob, row
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def attention_with_dropout_streaming(q, k, v, key_bias, seed, p, sm_scale):
+    """Flash-style streaming version of attention_with_dropout for sequences
+    beyond the full-VMEM bound. Same semantics; T must be a BQ multiple and
+    dh a 128 multiple (use attention_with_dropout_auto for arbitrary shapes).
+    """
+    o, _, _ = _stream_fwd_impl(q, k, v, key_bias, seed, p, sm_scale)
+    return o
+
+
+def _stream_fwd_impl(q, k, v, key_bias, seed, p, sm_scale):
+    B, H, T, dh = q.shape
+    nq, nk = T // BQ, T // BK
+    qb, kb, bias, ob, row = _stream_specs(B, H, T, dh)
+    o, m, l = pl.pallas_call(
+        functools.partial(_sfwd_kernel, p=p, sm_scale=sm_scale, H=H),
+        grid=(B, H, nq, nk),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), qb, kb, kb, bias],
+        out_specs=[ob, row, row],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, T, dh), q.dtype),
+            jax.ShapeDtypeStruct((B, H, T, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, T, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BQ, dh), jnp.float32),
+            pltpu.VMEM((BQ, 1), jnp.float32),
+            pltpu.VMEM((BQ, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(seed.reshape(1).astype(jnp.int32), q, k, v,
+      key_bias.astype(jnp.float32)[:, None, :])
+    return o, m, l
+
+
+def _stream_fwd(q, k, v, key_bias, seed, p, sm_scale):
+    o, m, l = _stream_fwd_impl(q, k, v, key_bias, seed, p, sm_scale)
+    return o, (q, k, v, key_bias, seed, o, m, l)
+
+
+def _stream_bwd(p, sm_scale, res, do):
+    q, k, v, key_bias, seed, o, m, l = res
+    B, H, T, dh = q.shape
+    nq, nk = T // BQ, T // BK
+    qb, kb, bias, ob, row = _stream_specs(B, H, T, dh)
+    # delta term of the softmax jacobian: D_i = dO_i . O_i (lane-broadcast
+    # to the residual layout)
+    d = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    d = jnp.broadcast_to(d[..., None], (B, H, T, 128))
+    seed_arg = seed.reshape(1).astype(jnp.int32)
+    bias_arg = key_bias.astype(jnp.float32)[:, None, :]
+
+    dq = pl.pallas_call(
+        functools.partial(_sbwd_dq_kernel, p=p, sm_scale=sm_scale, H=H),
+        grid=(B, H, nq, nk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            qb, kb, kb, bias, qb, row, row, row,
+        ],
+        out_specs=ob,
+        out_shape=jax.ShapeDtypeStruct((B, H, T, dh), q.dtype),
+        scratch_shapes=[pltpu.VMEM((BQ, dh), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(seed_arg, q, k, v, bias_arg, do, m, l, d)
+
+    # dK/dV: key blocks outer, query blocks innermost (accumulated)
+    qb2 = pl.BlockSpec(
+        (1, 1, BQ, dh), lambda b, h, kj, qi: (b, h, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kb2 = pl.BlockSpec(
+        (1, 1, BK, dh), lambda b, h, kj, qi: (b, h, kj, 0),
+        memory_space=pltpu.VMEM,
+    )
+    bias2 = pl.BlockSpec(
+        (1, 1, BK), lambda b, h, kj, qi: (b, 0, kj), memory_space=pltpu.VMEM
+    )
+    row2 = pl.BlockSpec(
+        (1, 1, BQ, 128), lambda b, h, kj, qi: (b, h, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    okv = pl.BlockSpec(
+        (1, 1, BK, dh), lambda b, h, kj, qi: (b, h, kj, 0),
+        memory_space=pltpu.VMEM,
+    )
+    shp = jax.ShapeDtypeStruct((B, H, T, dh), q.dtype)
+    dk, dv = pl.pallas_call(
+        functools.partial(_sbwd_dkv_kernel, p=p, sm_scale=sm_scale, H=H),
+        grid=(B, H, nk, nq),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            qb2, kb2, kb2, bias2, qb2, row2, row2, row2,
+        ],
+        out_specs=[okv, okv],
+        out_shape=[shp, shp],
+        scratch_shapes=[
+            pltpu.VMEM((BK, dh), jnp.float32),
+            pltpu.VMEM((BK, dh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(seed_arg, q, k, v, bias_arg, do, m, l, d)
+
+    import numpy as np
+
+    d_bias = jnp.zeros_like(key_bias)
+    d_seed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, d_bias, d_seed
+
+
+attention_with_dropout_streaming.defvjp(_stream_fwd, _stream_bwd)
+
+
+def streaming_supported(T: int, dh: int) -> bool:
+    return not _interpret()
+
+
+def attention_with_dropout_auto(q, k, v, key_bias, seed, p, sm_scale):
+    """Dispatch: full-VMEM kernel when the padded length fits, else the
+    streaming kernel; pads T/dh as needed and slices back."""
+    B, H, T, dh = q.shape
+    if supported(T, dh):
+        return attention_with_dropout_padded(
+            q, k, v, key_bias, seed, p, sm_scale
+        )
+    mult = max(BQ, BK)  # BQ is a BK multiple
+    Tp = ((T + mult - 1) // mult) * mult
+    dhp = _round_up_128(dh)
+    pad4 = ((0, 0), (0, 0), (0, Tp - T), (0, dhp - dh))
+    qp = jnp.pad(q, pad4)
+    kp = jnp.pad(k, pad4)
+    vp = jnp.pad(v, pad4)
+    bias = jnp.pad(key_bias, ((0, 0), (0, Tp - T)), constant_values=NEG_INF)
+    o = attention_with_dropout_streaming(qp, kp, vp, bias, seed, p, sm_scale)
+    return o[:, :, :T, :dh]

@@ -168,3 +168,85 @@ def test_padded_wrapper_matches_reference_on_odd_shapes(t, dh):
 def test_supported_covers_unaligned_shapes():
     assert supported(992, 64) == supported(1024, 128)  # padding handles both
     assert not supported(2048, 128)  # streaming variant not built yet
+
+
+@pytest.mark.parametrize("t,dh", [(1024, 128), (2048, 64)])
+def test_streaming_kernel_matches_reference_p0(t, dh):
+    """Flash-style streaming kernel (T beyond the full-VMEM bound) must
+    equal the einsum reference at p=0, forward and gradients. Runs in
+    interpret mode off-TPU."""
+    from fastspeech2_lightning_tpu.ops.attention_dropout import (
+        attention_with_dropout_streaming,
+    )
+
+    sm = float(1.0 / np.sqrt(dh))
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((1, 2, t, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 2, t, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 2, t, dh)).astype(np.float32))
+    lens = np.array([t - 100])
+    key_bias = jnp.asarray(
+        np.where(np.arange(t)[None, :] < lens[:, None], 0.0, NEG_INF).astype(
+            np.float32
+        )
+    )
+    seed = jnp.asarray([11], jnp.int32)
+
+    def ref(q, k, v):
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * sm + key_bias[:, None, None, :]
+        w = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum(
+            "bhqk,bhkd->bhqd", w.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(q.dtype)
+
+    o = attention_with_dropout_streaming(q, k, v, key_bias, seed, 0.0, sm)
+    np.testing.assert_allclose(
+        np.asarray(o), np.asarray(ref(q, k, v)), atol=5e-3, rtol=5e-3
+    )
+
+    gk = jax.grad(
+        lambda q, k, v: jnp.sum(
+            attention_with_dropout_streaming(
+                q, k, v, key_bias, seed, 0.0, sm
+            )
+            ** 2
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gr = jax.grad(
+        lambda q, k, v: jnp.sum(ref(q, k, v) ** 2), argnums=(0, 1, 2)
+    )(q, k, v)
+    for a, b, name in zip(gk, gr, "qkv"):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-3,
+            err_msg=f"d{name}",
+        )
+
+
+def test_streaming_auto_dispatch_odd_shape():
+    """auto pads odd T to the streaming block multiple and slices back."""
+    from fastspeech2_lightning_tpu.ops.attention_dropout import (
+        attention_with_dropout_auto,
+    )
+
+    t, dh = 700, 64
+    sm = float(1.0 / np.sqrt(dh))
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.standard_normal((1, 1, t, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 1, t, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 1, t, dh)).astype(np.float32))
+    key_bias = jnp.zeros((1, t), jnp.float32)
+    seed = jnp.asarray([2], jnp.int32)
+
+    o = attention_with_dropout_auto(q, k, v, key_bias, seed, 0.0, sm)
+    assert o.shape == (1, 1, t, dh)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * sm
+    w = jax.nn.softmax(s, axis=-1)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+    np.testing.assert_allclose(
+        np.asarray(o), np.asarray(ref), atol=5e-3, rtol=5e-3
+    )

@@ -26,6 +26,14 @@ os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 jax.config.update("jax_platforms", "cpu")
+try:
+    # share the repo's persistent compile cache so repeat runs skip the
+    # (CPU-slow) XLA compile of the distributed train step
+    jax.config.update("jax_compilation_cache_dir", r"%(repo)s/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass
 jax.distributed.initialize(
     coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=idx
 )
