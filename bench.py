@@ -346,7 +346,14 @@ def measure_training() -> dict:
         config, model, jax.random.PRNGKey(0), batches[0]
     )
     train_step = make_train_step(config, model)
-    key = jax.random.PRNGKey(7)
+    # dropout PRNG impl: framework default (training.prng_impl, unsafe_rbg =
+    # TPU hardware RNG); FS2T_PRNG_IMPL overrides for A/B (threefry2x32
+    # measured 72.4 ms/step vs 42.6 with unsafe_rbg at B=32/T=1024)
+    impl = os.environ.get("FS2T_PRNG_IMPL", config.training.prng_impl)
+    try:
+        key = jax.random.key(7, impl=impl)
+    except Exception:
+        key = jax.random.PRNGKey(7)
 
     flops = 0.0
     try:

@@ -321,6 +321,16 @@ class FastSpeech2TrainingConfig(ConfigModel):
         "training loop's background prefetcher (0 disables; the analogue of "
         "DataLoader workers).",
     )
+    prng_impl: str = Field(
+        default="unsafe_rbg",
+        description="JAX PRNG implementation for training randomness "
+        "(dropout masks). 'unsafe_rbg' uses the TPU hardware RNG — measured "
+        "42.6 vs 72.4 ms/step at B=32/T=1024 (threefry mask generation was "
+        "~40% of the step). 'threefry2x32' restores the default "
+        "counter-based stream (bit-reproducible across shardings/versions). "
+        "Like torch DDP's per-rank dropout, rbg streams are statistically "
+        "but not bitwise sharding-invariant.",
+    )
     max_epochs: int = Field(default=1000)
     max_steps: int = Field(default=100000)
     finetune_checkpoint: Optional[Path] = Field(default=None)
