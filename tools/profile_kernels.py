@@ -89,7 +89,10 @@ def run_train(reps=10):
     batch = {k: jax.device_put(v) for k, v in batch.items()}
     state = create_train_state(config, model, jax.random.PRNGKey(0), batch)
     train_step = make_train_step(config, model)
-    rng = jax.random.PRNGKey(1)
+    try:  # framework-default dropout PRNG (training.prng_impl)
+        rng = jax.random.key(1, impl=config.training.prng_impl)
+    except Exception:
+        rng = jax.random.PRNGKey(1)
 
     state, _ = train_step(state, batch, rng, 0)
     np.asarray(state.step)
