@@ -100,24 +100,56 @@ def _resblock2(x, params, kernel_size: int, dilations):
 
 
 def hifigan_generator(
-    params: Dict[str, Any], mel: jnp.ndarray, config: HiFiGANConfig
+    params: Dict[str, Any],
+    mel: jnp.ndarray,
+    config: HiFiGANConfig,
+    fused: bool = False,
 ) -> jnp.ndarray:
-    """mel [B, T, n_mels] -> wav [B, T * total_upsampling]."""
+    """mel [B, T, n_mels] -> wav [B, T * total_upsampling].
+
+    With fused=True the low-channel upsample stages' resblock groups run as
+    one Pallas VMEM kernel each (ops/vocoder_resblocks.py) — TPU only,
+    opt-in: measured SLOWER than XLA's op-by-op path (see the kernel
+    module docstring), kept as the documented negative result."""
+    from ..ops.vocoder_resblocks import (
+        fused_mrf_stage,
+        mrf_stage_supported,
+        prepare_stage_weights,
+    )
+
     x = _conv1d(mel, params["conv_pre_w"], params["conv_pre_b"])
     n_kernels = len(config.resblock_kernel_sizes)
     resblock_fn = _resblock1 if config.resblock == "1" else _resblock2
+    ks = tuple(config.resblock_kernel_sizes)
+    dils = tuple(tuple(d) for d in config.resblock_dilation_sizes)
     for i, (u, k) in enumerate(
         zip(config.upsample_rates, config.upsample_kernel_sizes)
     ):
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         x = _conv_transpose1d(x, params[f"up_{i}_w"], params[f"up_{i}_b"], u)
-        acc = None
-        for j, (rk, dil) in enumerate(
-            zip(config.resblock_kernel_sizes, config.resblock_dilation_sizes)
+        c_out = x.shape[-1]
+        if (
+            fused
+            and config.resblock == "1"
+            and mrf_stage_supported(c_out, ks, dils)
+            and x.shape[1] >= 256
         ):
-            out = resblock_fn(x, params[f"res_{i}_{j}"], rk, dil)
-            acc = out if acc is None else acc + out
-        x = acc / n_kernels
+            flat = prepare_stage_weights(
+                [params[f"res_{i}_{j}"] for j in range(n_kernels)],
+                ks, dils, x.dtype,
+            )
+            # f32 doubles every VMEM buffer; halve the block to stay under
+            # the ~16 MB budget at C=128
+            bt = 512 if x.dtype == jnp.bfloat16 or c_out <= 64 else 256
+            x = fused_mrf_stage(x, flat, ks, dils, block_t=bt)
+        else:
+            acc = None
+            for j, (rk, dil) in enumerate(
+                zip(config.resblock_kernel_sizes, config.resblock_dilation_sizes)
+            ):
+                out = resblock_fn(x, params[f"res_{i}_{j}"], rk, dil)
+                acc = out if acc is None else acc + out
+            x = acc / n_kernels
     x = jax.nn.leaky_relu(x, LRELU_SLOPE)
     x = _conv1d(x, params["conv_post_w"], params["conv_post_b"])
     return jnp.tanh(x)[..., 0]
@@ -314,10 +346,19 @@ def load_vocoder_checkpoint(path, precision: str = "float32"):
 
 
 def make_vocoder_fn(
-    params: Dict[str, Any], config: HiFiGANConfig, precision: str = "float32"
+    params: Dict[str, Any],
+    config: HiFiGANConfig,
+    precision: str = "float32",
+    fused: Optional[bool] = None,
 ):
     """Callable (mel [B, T, K]) -> (wav [B, samples], sr) for the wav writer;
-    jitted once. precision: "float32" (default) or "bfloat16"."""
+    jitted once. precision: "float32" (default) or "bfloat16".
+
+    fused=True swaps the low-channel resblock groups for the Pallas MRF
+    kernel (ops/vocoder_resblocks.py). Measured on v5e it is a NEGATIVE
+    result — device times 4.2/6.2/10.6 ms vs XLA's 3.9/4.2/9.5 ms for the
+    C=128/64/32 stages at B=8, 256 mel frames — so it stays opt-in
+    (default off); see the kernel module docstring for the analysis."""
     if precision == "bfloat16":
         params = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16) if hasattr(x, "astype") else x,
@@ -326,7 +367,8 @@ def make_vocoder_fn(
         in_dt = jnp.bfloat16
     else:
         in_dt = jnp.float32
-    gen = jax.jit(lambda p, m: hifigan_generator(p, m, config))
+    fused = bool(fused)
+    gen = jax.jit(lambda p, m: hifigan_generator(p, m, config, fused=fused))
 
     def vocoder(mel: np.ndarray):
         wav = np.asarray(

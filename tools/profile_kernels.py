@@ -101,6 +101,28 @@ def run_train(reps=10):
     np.asarray(state.step)
 
 
+def run_vocoder(reps=20):
+    """HiFiGAN V1 generator at the serving shape (B=8, 256 mel frames)."""
+    from fastspeech2_lightning_tpu.models.hifigan import (
+        HiFiGANConfig,
+        init_random_hifigan,
+        make_vocoder_fn,
+    )
+
+    config = HiFiGANConfig()
+    params = init_random_hifigan(config)
+    voc = make_vocoder_fn(params, config, precision="bfloat16")
+    rng = np.random.default_rng(0)
+    mel = jax.device_put(
+        jnp.asarray(rng.standard_normal((8, 256, 80)).astype(np.float32))
+    )
+    wav = voc.device_fn(mel)
+    np.asarray(wav[0, 0])
+    for _ in range(reps):
+        wav = voc.device_fn(mel + wav[:, :1, None] * 1e-12)
+    np.asarray(wav[0, 0])
+
+
 def device_op_ms(trace_dir: Path, pattern: str, reps: int = 1) -> float:
     """Total on-device ms of ops whose name matches `pattern`, per rep."""
     import re
@@ -180,7 +202,12 @@ def summarize(trace_dir: Path, top: int = 25):
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     out = Path(sys.argv[sys.argv.index("--dir") + 1]) if "--dir" in sys.argv else Path("/tmp/prof_" + which)
-    runners = {"mas": run_mas, "ctc": run_ctc, "train": run_train}
+    runners = {
+        "mas": run_mas,
+        "ctc": run_ctc,
+        "train": run_train,
+        "vocoder": run_vocoder,
+    }
     todo = list(runners) if which == "all" else [which]
     for name in todo:
         d = Path(str(out) + "_" + name) if which == "all" else out
