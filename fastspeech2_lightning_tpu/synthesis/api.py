@@ -148,13 +148,22 @@ class Synthesizer:
         # ~12 frames/symbol upper estimate (English @ 22.05 kHz / 256 hop is
         # typically 6-10); the duration-total check below corrects misses
         est = min(cap, _round_up(12 * L, 128)) if adaptive_max_frames else cap
+        import jax
+
+        # one round trip for the small arrays (durations drive both the
+        # adaptive-bucket check and the returned per-phone durations; lens
+        # drives vocoder trimming) — serial np.asarray fetches each pay the
+        # relay RTT, a tupled device_get issues them together
         out = self._predict_fn(est)(self.variables, batch, ctrl)
-        true_total = int(np.asarray(out["duration_rounded"]).sum(axis=1).max())
+        dur, lens = jax.device_get((out["duration_rounded"], out["tgt_lens"]))
+        true_total = int(dur.sum(axis=1).max())
         if est < cap and true_total > est:
             need = min(cap, _round_up(max(true_total, 1), 128))
             out = self._predict_fn(need)(self.variables, batch, ctrl)
+            dur, lens = jax.device_get(
+                (out["duration_rounded"], out["tgt_lens"])
+            )
         key = "postnet_output" if self.config.model.use_postnet else "output"
-        lens = np.asarray(out["tgt_lens"])
 
         wav_dev = None
         if self.vocoder is not None:
@@ -174,8 +183,13 @@ class Synthesizer:
             else:
                 wav_dev, _ = self.vocoder(np.asarray(out[key])[:, :t_need])
 
-        mels_padded = np.asarray(out[key])
-        dur = np.asarray(out["duration_rounded"])
+        # second (and last) round trip: mels and — when vocoding — the wav,
+        # fetched together
+        if wav_dev is not None:
+            mels_padded, wav_host = jax.device_get((out[key], wav_dev))
+        else:
+            mels_padded = jax.device_get(out[key])
+            wav_host = None
         mels = [mels_padded[i, : lens[i]] for i in range(B)]
         durations = [dur[i, : len(encoded[i])] for i in range(B)]
 
@@ -187,7 +201,7 @@ class Synthesizer:
                 self.config.preprocessing.audio.output_sampling_rate,
             )
             hop = self.config.preprocessing.audio.fft_hop_size
-            wav_host = np.asarray(wav_dev, dtype=np.float32)
+            wav_host = np.asarray(wav_host, dtype=np.float32)
             wavs = [wav_host[i, : lens[i] * hop] for i in range(B)]
         return SynthesisResult(
             mels=mels, durations=durations, wavs=wavs, sample_rate=sr

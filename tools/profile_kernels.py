@@ -200,7 +200,10 @@ def summarize(trace_dir: Path, top: int = 25):
 
 
 def main():
+    global B
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if "--batch" in sys.argv:
+        B = int(sys.argv[sys.argv.index("--batch") + 1])
     out = Path(sys.argv[sys.argv.index("--dir") + 1]) if "--dir" in sys.argv else Path("/tmp/prof_" + which)
     runners = {
         "mas": run_mas,
