@@ -86,7 +86,16 @@ gbatch = to_global(local, P("data"))
 
 train_step = make_train_step(cfg, model)
 with mesh:
-    new_state, losses = train_step(state, gbatch, jax.random.PRNGKey(1), 0)
+    # AOT-compile, then hold both processes at a coordination-service
+    # barrier before the first collective executes. Without this, a
+    # compile-time skew (cold cache, loaded host) lets the fast process
+    # start Gloo context init while the slow one is still compiling, and
+    # Gloo's 30 s key-value rendezvous times out — an environment flake,
+    # not a code failure.
+    compiled = train_step.lower(state, gbatch, jax.random.PRNGKey(1), 0).compile()
+    from jax._src import distributed as _dist
+    _dist.global_state.client.wait_at_barrier("fs2t_compiled", 600_000)
+    new_state, losses = compiled(state, gbatch, jax.random.PRNGKey(1), 0)
 total = float(np.asarray(losses["total"].addressable_data(0)))
 assert np.isfinite(total), total
 print(f"LOSS {idx} {total:.6f}", flush=True)
