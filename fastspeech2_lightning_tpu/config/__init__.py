@@ -321,6 +321,18 @@ class FastSpeech2TrainingConfig(ConfigModel):
         "training loop's background prefetcher (0 disables; the analogue of "
         "DataLoader workers).",
     )
+    fused_optimizer: bool = Field(
+        default=False,
+        description="Run clip+AdamW on one raveled parameter buffer "
+        "(training/fused_optim.py) instead of optax's per-leaf chain — "
+        "numerically identical, and the flat Adam moments shard over the "
+        "data axis (ZeRO-1) on a mesh. Default off: measured on v5e at "
+        "B=32/T=1024 the whole per-leaf optimizer costs only ~0.6 ms of a "
+        "~41 ms step, and the ravel/unravel copies make the fused path "
+        "~0.5 ms slower. Worth enabling only when optimizer-state HBM is "
+        "the binding constraint. Ignored (per-leaf forced) under tensor "
+        "parallelism, where moments must shard with their params.",
+    )
     prng_impl: str = Field(
         default="unsafe_rbg",
         description="JAX PRNG implementation for training randomness "

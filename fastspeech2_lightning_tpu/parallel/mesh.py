@@ -89,12 +89,20 @@ def opt_pspec_tree(opt_state, params):
     replicated (2x param bytes of wasted HBM per device at TP scale, plus a
     GSPMD reshard every update). Scalars (step counts) and empty states are
     replicated."""
+    from ..training.fused_optim import FusedAdamWState
+
     pspecs = param_pspec_tree(params)
     params_def = jax.tree_util.tree_structure(params)
 
     def rec(node):
         if node is None:
             return None
+        if isinstance(node, FusedAdamWState):
+            # flat-buffer moments (fused optimizer, data-parallel only):
+            # shard the big 1-D buffers over the data axis — ZeRO-1 style
+            # optimizer-state sharding. GSPMD turns the update into
+            # slice-local Adam math + an all-gather of the param delta.
+            return FusedAdamWState(count=P(), mu=P("data"), nu=P("data"))
         if isinstance(node, dict) or (
             hasattr(node, "items") and hasattr(node, "keys")
         ):

@@ -35,6 +35,12 @@ class CheckpointError(Exception):
     pass
 
 
+def _opt_format(opt_state) -> str:
+    from .fused_optim import opt_state_format
+
+    return opt_state_format(opt_state)
+
+
 def save_checkpoint(
     ckpt_dir: Path,
     state,
@@ -80,6 +86,10 @@ def save_checkpoint(
         # restore template that matches the on-disk structure even when the
         # run config toggled optional state (e.g. ema_decay) since saving
         "array_keys": sorted(arrays.keys()),
+        # 'fused' (flat-buffer AdamW) or 'per_leaf' (optax chain) — lets a
+        # resume under the other optimizer layout restore with the right
+        # template and convert the moments exactly (training/fused_optim.py)
+        "optimizer_format": _opt_format(state.opt_state),
     }
     with open(path / "meta.json", "w", encoding="utf8") as f:
         json.dump(meta, f, indent=2)

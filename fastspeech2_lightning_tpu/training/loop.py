@@ -8,6 +8,7 @@ TensorBoard, checkpoints top-k on `validation/total_loss`."""
 
 from __future__ import annotations
 
+import json
 import time
 from pathlib import Path
 from typing import Optional
@@ -28,7 +29,7 @@ from .checkpoint import (
     prune_checkpoints,
     save_checkpoint,
 )
-from .state import TrainState, create_train_state
+from .state import TrainState, create_train_state, make_optimizer
 from .step import make_eval_step, make_train_step
 from ..preprocessing.stats import load_stats
 
@@ -195,7 +196,14 @@ class Trainer:
         except Exception:
             rng = jax.random.PRNGKey(config.training.seed)
         example = _device_batch(next(iter(loader)))
-        state = create_train_state(config, self.model, rng, example)
+        # tensor parallelism forces the per-leaf optimizer (moments shard
+        # with their params); otherwise config.training.fused_optimizer rules
+        fused = (
+            False
+            if (self.mesh is not None and self.mesh.shape["model"] > 1)
+            else None
+        )
+        state = create_train_state(config, self.model, rng, example, fused=fused)
         if self.mesh is not None:
             from ..parallel import shard_state
 
@@ -207,7 +215,27 @@ class Trainer:
         if start_path is None and config.training.finetune_checkpoint:
             start_path = Path(config.training.finetune_checkpoint)
         if start_path is not None:
-            template = {"params": state.params, "opt_state": state.opt_state}
+            from .fused_optim import convert_opt_state, opt_state_format
+
+            # the on-disk optimizer format (meta is cheap to read ahead of
+            # the orbax restore) decides which opt_state template to restore
+            # with; a format mismatch is converted exactly afterwards — the
+            # Adam moments are the same numbers in either layout
+            disk_format = "per_leaf"
+            try:
+                with open(start_path / "meta.json", "r", encoding="utf8") as f:
+                    disk_format = json.load(f).get(
+                        "optimizer_format", "per_leaf"
+                    )
+            except Exception:
+                pass
+            cur_format = opt_state_format(state.opt_state)
+            opt_template = state.opt_state
+            if disk_format != cur_format:
+                opt_template = make_optimizer(
+                    config, fused=(disk_format == "fused")
+                ).init(state.params)
+            template = {"params": state.params, "opt_state": opt_template}
             if state.batch_stats is not None:
                 template["batch_stats"] = state.batch_stats
             if state.constants is not None:
@@ -217,6 +245,10 @@ class Trainer:
             meta, arrays = load_checkpoint(
                 start_path, self.text_processor.symbols, template=template
             )
+            if disk_format != cur_format:
+                arrays["opt_state"] = convert_opt_state(
+                    arrays["opt_state"], state.opt_state, arrays["params"]
+                )
             ema = state.ema_params
             if state.ema_params is not None:
                 ema = arrays.get("ema_params")

@@ -60,18 +60,42 @@ def freeze_mask(params, frozen: list[str]):
     }
 
 
-def make_optimizer(config: FastSpeech2Config) -> optax.GradientTransformation:
+def make_optimizer(
+    config: FastSpeech2Config, fused: bool | None = None
+) -> optax.GradientTransformation:
+    """AdamW + Noam schedule + global-norm clip.
+
+    fused=None defers to config.training.fused_optimizer. The fused path
+    (training/fused_optim.py) runs clip+Adam on one raveled buffer — same
+    numbers, ~10 big vector ops instead of thousands of per-leaf ones.
+    Callers sharding params on the model axis (tensor parallelism) must pass
+    fused=False so the moments can shard with their params."""
     opt = config.training.optimizer
-    tx = optax.chain(
-        optax.clip_by_global_norm(config.training.gradient_clip_val),
-        optax.adamw(
-            learning_rate=noam_schedule(opt.learning_rate, opt.warmup_steps),
+    if fused is None:
+        fused = config.training.fused_optimizer
+    sched = noam_schedule(opt.learning_rate, opt.warmup_steps)
+    if fused:
+        from .fused_optim import fused_clip_adamw
+
+        tx = fused_clip_adamw(
+            learning_rate=sched,
             b1=opt.betas[0],
             b2=opt.betas[1],
             eps=opt.eps,
             weight_decay=opt.weight_decay,
-        ),
-    )
+            clip_norm=config.training.gradient_clip_val,
+        )
+    else:
+        tx = optax.chain(
+            optax.clip_by_global_norm(config.training.gradient_clip_val),
+            optax.adamw(
+                learning_rate=sched,
+                b1=opt.betas[0],
+                b2=opt.betas[1],
+                eps=opt.eps,
+                weight_decay=opt.weight_decay,
+            ),
+        )
     frozen = config.training.freeze_components
     if frozen:
         tx = optax.chain(
@@ -84,7 +108,11 @@ def make_optimizer(config: FastSpeech2Config) -> optax.GradientTransformation:
 
 
 def create_train_state(
-    config: FastSpeech2Config, model, rng: jax.Array, example_batch: dict
+    config: FastSpeech2Config,
+    model,
+    rng: jax.Array,
+    example_batch: dict,
+    fused: bool | None = None,
 ) -> TrainState:
     variables = model.init(
         {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
@@ -98,7 +126,7 @@ def create_train_state(
     return TrainState.create(
         apply_fn=model.apply,
         params=params,
-        tx=make_optimizer(config),
+        tx=make_optimizer(config, fused=fused),
         batch_stats=variables.get("batch_stats"),
         constants=variables.get("constants"),
         ema_params=ema,

@@ -32,6 +32,74 @@ def make_state(cfg):
     return model, state, batch
 
 
+def test_optimizer_format_conversion_both_directions(tmp_path):
+    """per-leaf <-> fused opt_state conversion moves the Adam moments
+    exactly (training/fused_optim.py), and save_checkpoint records the
+    format so a resume under the other layout knows to convert."""
+    import json
+
+    import jax.numpy as jnp
+    from jax.flatten_util import ravel_pytree
+
+    from fastspeech2_lightning_tpu.training.fused_optim import (
+        _find_adam_state,
+        convert_opt_state,
+        find_fused_state,
+        opt_state_format,
+    )
+    from fastspeech2_lightning_tpu.training.state import make_optimizer
+
+    cfg = tiny_config()
+    params = {
+        "enc": {"kernel": jnp.arange(12.0).reshape(3, 4) / 10, "bias": jnp.ones(4)},
+        "dec": {"w": jnp.linspace(-1, 1, 5)},
+    }
+    grads = jax.tree_util.tree_map(lambda p: 0.3 * jnp.ones_like(p), params)
+
+    tx_leaf = make_optimizer(cfg, fused=False)
+    s_leaf = tx_leaf.init(params)
+    _, s_leaf = tx_leaf.update(grads, s_leaf, params)
+    assert opt_state_format(s_leaf) == "per_leaf"
+
+    tx_fused = make_optimizer(cfg, fused=True)
+    fused_template = tx_fused.init(params)
+    assert opt_state_format(fused_template) == "fused"
+
+    # per-leaf -> fused
+    conv = convert_opt_state(s_leaf, fused_template, params)
+    fs = find_fused_state(conv)
+    adam = _find_adam_state(s_leaf)
+    np.testing.assert_array_equal(
+        np.asarray(fs.mu), np.asarray(ravel_pytree(adam.mu)[0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fs.nu), np.asarray(ravel_pytree(adam.nu)[0])
+    )
+    assert int(fs.count) == int(adam.count) == 1
+
+    # fused -> per-leaf (round trip restores the moment trees)
+    back = convert_opt_state(conv, s_leaf, params)
+    adam_back = _find_adam_state(back)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(adam.mu),
+        jax.tree_util.tree_leaves(adam_back.mu),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # same format passes through untouched
+    assert convert_opt_state(s_leaf, s_leaf, params) is s_leaf
+
+    # save_checkpoint stamps the format into meta.json
+    cfg2 = tiny_config()
+    model, state, batch = make_state(cfg2)
+    path = save_checkpoint(
+        tmp_path, state, cfg2, tiny_stats(), {"default": 0}, {"default": 0},
+        ["\x80", " ", "a", "b"],
+    )
+    with open(path / "meta.json", encoding="utf8") as f:
+        assert json.load(f)["optimizer_format"] == "per_leaf"
+
+
 def test_save_load_roundtrip(tmp_path):
     cfg = tiny_config()
     model, state, batch = make_state(cfg)

@@ -24,7 +24,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def build_state_and_batch(B=8, **model_overrides):
+def build_state_and_batch(B=8, fused=None, **model_overrides):
     cfg = tiny_config(**model_overrides)
     model = FastSpeech2(
         config=cfg, stats=tiny_stats(), n_symbols=30, n_speakers=1, n_languages=1
@@ -34,7 +34,9 @@ def build_state_and_batch(B=8, **model_overrides):
         rng, B=B, L=16, T=32,
         learn_alignment=cfg.model.learn_alignment,
     )
-    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
+    state = create_train_state(
+        cfg, model, jax.random.PRNGKey(0), batch, fused=fused
+    )
     return cfg, model, state, batch
 
 
@@ -119,7 +121,8 @@ def test_train_step_tensor_parallel_executes():
     from fastspeech2_lightning_tpu.parallel import shard_state
 
     mesh = make_mesh(8, model_parallel=2)
-    cfg, model, state, batch = build_state_and_batch()
+    # per-leaf optimizer under TP: moments shard with their params
+    cfg, model, state, batch = build_state_and_batch(fused=False)
     state = shard_state(state, mesh)
     # a model-sharded param's Adam moments must be sharded alongside it
     # (not replicated: 2x param HBM waste + a reshard per update)
@@ -134,6 +137,42 @@ def test_train_step_tensor_parallel_executes():
     assert len(_model_sharded_leaves(new_state.opt_state)) >= 2
 
 
+def test_fused_optimizer_zero1_on_data_mesh():
+    """Fused flat-buffer optimizer on a pure-DP mesh: the flat Adam moments
+    shard over the data axis (ZeRO-1) when divisible, and the sharded step
+    matches single-device execution."""
+    from fastspeech2_lightning_tpu.parallel import shard_state
+    from fastspeech2_lightning_tpu.training.fused_optim import find_fused_state
+
+    cfg, model, state, batch = build_state_and_batch(fused=True)
+    assert find_fused_state(state.opt_state) is not None
+    ts = make_train_step(cfg, model)
+    s1, losses1 = ts(state, batch, jax.random.PRNGKey(1), 0)
+
+    mesh = make_mesh(8)  # data=8, model=1
+    _, _, state2, _ = build_state_and_batch(fused=True)
+    n = find_fused_state(state2.opt_state).mu.shape[0]
+    state2 = shard_state(state2, mesh)
+    fused = find_fused_state(state2.opt_state)
+    if n % 8 == 0:
+        assert tuple(fused.mu.sharding.spec) == ("data",)
+        assert tuple(fused.nu.sharding.spec) == ("data",)
+    sharded = shard_batch(batch, mesh)
+    with mesh:
+        s8, losses8 = ts(state2, sharded, jax.random.PRNGKey(1), 0)
+    for k in losses1:
+        rtol = 2e-3 if k == "grad_norm" else 2e-4
+        np.testing.assert_allclose(
+            float(losses1[k]), float(losses8[k]), rtol=rtol, atol=2e-5
+        )
+    # the updated params agree too (the all-gathered ZeRO-1 update applied)
+    p1 = jax.tree_util.tree_leaves(s1.params)[0]
+    p8 = jax.tree_util.tree_leaves(s8.params)[0]
+    np.testing.assert_allclose(
+        np.asarray(p1), np.asarray(p8), rtol=2e-4, atol=2e-5
+    )
+
+
 def test_eval_step_tensor_parallel_matches_single_device():
     """TP forward == single-device forward. The continuous pre-bucketize
     outputs must match tightly; end-to-end losses only loosely, because
@@ -143,12 +182,14 @@ def test_eval_step_tensor_parallel_matches_single_device():
     from fastspeech2_lightning_tpu.parallel import shard_state
     from fastspeech2_lightning_tpu.training.step import make_eval_step
 
-    cfg, model, state, batch = build_state_and_batch(learn_alignment=False)
+    cfg, model, state, batch = build_state_and_batch(
+        fused=False, learn_alignment=False
+    )
     es = make_eval_step(cfg, model)
     losses1, out1 = es(state, batch, 0)
 
     mesh = make_mesh(8, model_parallel=2)
-    _, _, state2, _ = build_state_and_batch(learn_alignment=False)
+    _, _, state2, _ = build_state_and_batch(fused=False, learn_alignment=False)
     state2 = shard_state(state2, mesh)
     assert len(_model_sharded_leaves(state2.opt_state)) >= 2
     sharded = shard_batch(batch, mesh)

@@ -58,6 +58,76 @@ def test_overfit_tiny_batch():
     assert last < 0.5 * first, (first, last)
 
 
+def test_fused_optimizer_matches_per_leaf_chain():
+    """training/fused_optim.py vs optax.chain(clip_by_global_norm, adamw):
+    identical params after several steps (same grads, same schedule, clip
+    both triggered and untriggered, weight decay on)."""
+    from fastspeech2_lightning_tpu.training.state import make_optimizer
+    from helpers import tiny_config as _tc
+
+    cfg = _tc()
+    cfg.training.optimizer.weight_decay = 0.01
+    rngs = jax.random.split(jax.random.PRNGKey(7), 8)
+    params = {
+        "a": {"kernel": jax.random.normal(rngs[0], (5, 3)),
+              "bias": jnp.zeros((3,))},
+        "b": {"w": jax.random.normal(rngs[1], (4,)) * 10.0},
+    }
+    tx_leaf = make_optimizer(cfg, fused=False)
+    tx_fused = make_optimizer(cfg, fused=True)
+    s_leaf = tx_leaf.init(params)
+    s_fused = tx_fused.init(params)
+    p_leaf = params
+    p_fused = jax.tree_util.tree_map(jnp.array, params)
+    import optax
+
+    for i in range(4):
+        scale = 100.0 if i % 2 == 0 else 1e-3  # clip on / off
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.full_like(
+                p, scale * (0.1 + 0.01 * i)
+            ) * jnp.sign(p + 0.1),
+            p_leaf,
+        )
+        u1, s_leaf = tx_leaf.update(grads, s_leaf, p_leaf)
+        p_leaf = optax.apply_updates(p_leaf, u1)
+        u2, s_fused = tx_fused.update(grads, s_fused, p_fused)
+        p_fused = optax.apply_updates(p_fused, u2)
+    for l1, l2 in zip(
+        jax.tree_util.tree_leaves(p_leaf), jax.tree_util.tree_leaves(p_fused)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(l1), np.asarray(l2), rtol=1e-6, atol=1e-7
+        )
+
+
+def test_fused_train_step_matches_per_leaf_step():
+    """Full train step: fused and per-leaf optimizers produce the same
+    updated model params (shared dropout key, same batch)."""
+    cfg = tiny_config(learn_alignment=False)
+    model = FastSpeech2(
+        config=cfg, stats=tiny_stats(), n_symbols=30, n_speakers=1,
+        n_languages=1,
+    )
+    rng = np.random.default_rng(3)
+    batch = synthetic_batch(rng, B=2, L=8, T=32, learn_alignment=False)
+    ts = make_train_step(cfg, model)
+    outs = {}
+    for fused in (False, True):
+        state = create_train_state(
+            cfg, model, jax.random.PRNGKey(0), batch, fused=fused
+        )
+        for _ in range(2):
+            state, losses = ts(state, batch, jax.random.PRNGKey(5), 0)
+        outs[fused] = (
+            [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)],
+            float(losses["total"]),
+        )
+    np.testing.assert_allclose(outs[False][1], outs[True][1], rtol=1e-5)
+    for a, b in zip(outs[False][0], outs[True][0]):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
+
+
 def test_grad_norm_reported_and_clipped():
     cfg = tiny_config(learn_alignment=False)
     cfg.training.gradient_clip_val = 1e-8  # clip hard: updates ~ 0
