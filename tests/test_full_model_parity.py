@@ -19,7 +19,6 @@ difference that only shows at padded positions' boundaries.
 import json
 import pathlib
 
-import jax
 import numpy as np
 import pytest
 import torch

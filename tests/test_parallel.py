@@ -13,7 +13,6 @@ from fastspeech2_lightning_tpu.parallel import (
     param_pspec_tree,
     shard_batch,
 )
-from fastspeech2_lightning_tpu.parallel.mesh import _validated_spec
 from fastspeech2_lightning_tpu.training.state import create_train_state
 from fastspeech2_lightning_tpu.training.step import make_train_step
 

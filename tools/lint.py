@@ -65,9 +65,14 @@ def check_file(path: Path) -> list[str]:
     checker.visit(tree)
     # names used in __all__, docstring-only modules, or re-export modules
     reexport = "__init__" in path.name or "__all__" in src
+    lines = src.splitlines()
     if not reexport:
         for name, node in checker.imports.items():
             if name not in checker.used and f"{name}." not in src:
+                # honor `# noqa` on the import line (e.g. probe imports)
+                line = lines[node.lineno - 1] if node.lineno <= len(lines) else ""
+                if "noqa" in line:
+                    continue
                 problems.append(
                     f"{path}:{node.lineno}: unused import '{name}'"
                 )
