@@ -400,19 +400,25 @@ def main():
     except Exception:
         cpu_fps = float("nan")
     ratio = tpu_fps / cpu_fps if cpu_fps == cpu_fps and cpu_fps > 0 else None
-    print(
-        json.dumps(
-            {
-                "metric": "mel_frames_per_sec_per_chip",
-                "value": round(tpu_fps, 1),
-                "unit": "frames/s",
-                "vs_baseline": round(ratio, 2) if ratio else None,
-                "ms_per_call": round(ms_per_call, 3),
-                "tflops_per_call": round(flops / 1e12, 3),
-                "mfu_pct": round(mfu * 100, 2),
-            }
-        )
-    )
+    line = {
+        "metric": "mel_frames_per_sec_per_chip",
+        "value": round(tpu_fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(ratio, 2) if ratio else None,
+        "ms_per_call": round(ms_per_call, 3),
+        "tflops_per_call": round(flops / 1e12, 3),
+        "mfu_pct": round(mfu * 100, 2),
+    }
+    # Training is the reference's primary workload — include its headline
+    # numbers on the same line (grad + optimizer update, B=32/T=1024).
+    # Guarded: a training-measurement failure must never cost the
+    # inference line. Opt out with FS2T_BENCH_SKIP_TRAINING=1.
+    if os.environ.get("FS2T_BENCH_SKIP_TRAINING", "0") != "1":
+        try:
+            line.update(measure_training())
+        except Exception as exc:  # pragma: no cover - defensive
+            line["train_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

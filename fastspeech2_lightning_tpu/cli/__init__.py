@@ -137,7 +137,7 @@ def train(config_file: Path, config_args, max_steps, resume, model_parallel, dis
     "(~39 dB SNR vs float32 output).",
 )
 @click.option(
-    "--style-reference", type=click.Path(exists=True, path_type=Path), default=None
+    "--style-reference", "-S", type=click.Path(exists=True, path_type=Path), default=None
 )
 @click.option(
     "--output-dir",
@@ -145,8 +145,8 @@ def train(config_file: Path, config_args, max_steps, resume, model_parallel, dis
     type=click.Path(path_type=Path),
     default=Path("synthesis_output"),
 )
-@click.option("--batch-size", type=int, default=None)
-@click.option("--teacher-forcing-directory", type=click.Path(path_type=Path), default=None)
+@click.option("--batch-size", "-b", type=int, default=None)
+@click.option("--teacher-forcing-directory", "-T", type=click.Path(path_type=Path), default=None)
 @click.option(
     "--use-ema/--no-use-ema",
     default=False,
@@ -467,6 +467,34 @@ def serve_cmd(model_path, vocoder_path, host, port, max_batch,
         server.serve_forever()
     except KeyboardInterrupt:
         server.shutdown()
+
+
+@app.command(
+    "convert-artifacts",
+    help="Convert a reference preprocessed tree (.pt artifacts) to .npy in "
+    "place, so a corpus preprocessed with the PyTorch reference trains here "
+    "without re-preprocessing.",
+)
+@click.argument("preprocessed_dir", type=click.Path(exists=True, path_type=Path))
+@click.option(
+    "--overwrite/--no-overwrite", default=False,
+    help="Re-convert even when the .npy sibling already exists.",
+)
+@click.option("--verbose", "-V", is_flag=True, default=False)
+def convert_artifacts_cmd(preprocessed_dir: Path, overwrite: bool, verbose: bool):
+    from ..preprocessing.convert import convert_artifact_tree
+
+    try:
+        converted, skipped = convert_artifact_tree(
+            preprocessed_dir,
+            overwrite=overwrite,
+            log=click.echo if verbose else (lambda s: None),
+        )
+    except ImportError as exc:
+        raise click.UsageError(
+            "converting .pt artifacts requires torch in this environment"
+        ) from exc
+    click.echo(f"converted {converted} artifacts, skipped {skipped}")
 
 
 def main():

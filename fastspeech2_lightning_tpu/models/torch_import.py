@@ -323,3 +323,88 @@ def import_torch_checkpoint(ckpt_path, config):
     ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
     sd = ckpt.get("state_dict", ckpt)
     return import_torch_fastspeech2(sd, config)
+
+
+def load_reference_lightning_checkpoint(ckpt_path):
+    """Load a reference PyTorch Lightning ``.ckpt`` end to end.
+
+    The reference embeds everything needed to reconstruct the model in the
+    checkpoint itself: ``hyper_parameters`` carries the checkpoint-safe config
+    dump, corpus stats, and the lang/speaker lookup tables (fs2/model.py:
+    369-378 via ``save_hyperparameters``), ``model_info`` carries the
+    name/version gate (fs2/model.py:270-351), and ``global_step`` the step
+    baked into output filenames. This parses all of it, applies the same
+    version gate + <1.2 symbol-table migration as the orbax load path, and
+    converts the weights — so ``synthesize``/``Synthesizer`` accept a
+    reference ``.ckpt`` file directly, no conversion step.
+
+    Returns ``(config, stats, lang2id, speaker2id, variables, n_symbols,
+    global_step, warnings)`` where ``variables`` holds params / batch_stats /
+    constants (bit-exact pitch/energy bins from the checkpoint).
+    """
+    import torch
+
+    from ..config import FastSpeech2Config
+    from ..text.processor import (
+        TextProcessor,
+        get_symbols_from_symbol_dict,
+        symbol_sorter,
+    )
+    from ..training.checkpoint import check_and_upgrade_checkpoint
+    from ..type_definitions import Stats
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    if not isinstance(ckpt, dict) or "state_dict" not in ckpt:
+        raise TorchImportError(
+            f"{ckpt_path} is not a Lightning checkpoint (no state_dict)"
+        )
+    hp = ckpt.get("hyper_parameters") or {}
+    if "config" not in hp:
+        raise TorchImportError(
+            f"{ckpt_path} has no embedded config (hyper_parameters.config); "
+            "pass weights through import_torch_checkpoint(path, config) instead"
+        )
+    config = FastSpeech2Config.model_validate(hp["config"])
+    stats = Stats(**hp["stats"]) if hp.get("stats") else None
+    lang2id = dict(hp.get("lang2id") or {})
+    speaker2id = dict(hp.get("speaker2id") or {})
+
+    sd = ckpt["state_dict"]
+    params, batch_stats, warnings = import_torch_fastspeech2(sd, config)
+
+    # version gate + migrations, shared with the orbax path
+    ckpt_symbols = symbol_sorter(
+        get_symbols_from_symbol_dict(
+            (hp["config"].get("text") or {}).get("symbols") or {}
+        )
+    )
+    current_symbols = TextProcessor(config.text).symbols
+    meta = {
+        "model_info": ckpt.get("model_info")
+        or {"name": "FastSpeech2", "version": "1.0"},
+        "config": hp["config"],
+        "symbols": ckpt_symbols,
+    }
+    arrays = {"params": params}
+    meta, arrays = check_and_upgrade_checkpoint(meta, arrays, current_symbols)
+    params = arrays["params"]
+
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    constants = extract_constants(sd)
+    if constants:
+        variables["constants"] = constants
+
+    emb = params.get("text_input_layer", {}).get("embedding")
+    n_symbols = int(emb.shape[0]) if emb is not None else len(current_symbols)
+    return (
+        config,
+        stats,
+        lang2id,
+        speaker2id,
+        variables,
+        n_symbols,
+        int(ckpt.get("global_step", 0)),
+        warnings,
+    )

@@ -23,8 +23,36 @@ def load_model_from_checkpoint(ckpt_path: Path, use_ema: bool = False):
     """(model, variables, config, stats, lang2id, speaker2id, global_step).
 
     With use_ema, serve the exponential-moving-average shadow weights
-    (training.ema_decay > 0) instead of the raw params."""
+    (training.ema_decay > 0) instead of the raw params.
+
+    Accepts either an orbax checkpoint directory (step=N/) or a reference
+    PyTorch Lightning .ckpt FILE — the latter is converted on the fly from
+    its embedded hyper_parameters + state_dict (fs2/model.py:353-378), so
+    reference users can synthesize from their existing checkpoints
+    directly."""
     ckpt_path = Path(ckpt_path)
+    if ckpt_path.is_file():
+        from ..models.torch_import import load_reference_lightning_checkpoint
+
+        if use_ema:
+            raise ValueError(
+                "--use-ema applies to checkpoints trained here with "
+                "training.ema_decay; reference .ckpt files carry no EMA shadows."
+            )
+        (
+            config, stats, lang2id, speaker2id, variables, n_symbols,
+            global_step, warnings,
+        ) = load_reference_lightning_checkpoint(ckpt_path)
+        for w in warnings:
+            print(f"torch checkpoint import: {w}")
+        model = FastSpeech2(
+            config=config,
+            stats=stats,
+            n_symbols=n_symbols,
+            n_speakers=max(len(speaker2id), 1),
+            n_languages=max(len(lang2id), 1),
+        )
+        return model, variables, config, stats, lang2id, speaker2id, global_step
     meta, arrays = load_checkpoint(ckpt_path)
     if use_ema:
         if arrays.get("ema_params") is None:

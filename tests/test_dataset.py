@@ -212,3 +212,74 @@ def test_length_cache_roundtrip_and_invalidation(tmp_path):
     l3 = BucketedLoader(ds, batch_size=2, n_buckets=2, seed=0)
     assert l3.mel_lens[0] == 77
     assert len(list(cache_dir.glob("*.npz"))) == 2
+
+
+def test_convert_reference_pt_artifact_tree(tmp_path):
+    """A reference-preprocessed tree (.pt artifacts, fs2/dataset.py:100-185
+    naming) converts to .npy in place and then loads through the dataset."""
+    torch = pytest.importorskip("torch")
+    from fastspeech2_lightning_tpu.preprocessing.convert import (
+        convert_artifact_tree,
+    )
+
+    cfg = tiny_config()
+    cfg.preprocessing.save_dir = tmp_path
+    items = make_items(3)
+    a = cfg.preprocessing.audio
+    rng = np.random.default_rng(3)
+    golden = {}
+    for i, item in enumerate(items):
+        T = 18 + 6 * i
+        name = SEP.join([item["basename"], item["speaker"], item["language"]])
+        for sub in ("spec", "pitch", "energy", "attn"):
+            (tmp_path / sub).mkdir(exist_ok=True)
+        spec = rng.standard_normal((a.n_mels, T)).astype(np.float32)
+        golden[item["basename"]] = spec
+        torch.save(
+            torch.from_numpy(spec),
+            tmp_path / "spec" / f"{name}--spec-{a.input_sampling_rate}-{a.spec_type}.pt",
+        )
+        torch.save(
+            torch.from_numpy(rng.standard_normal(T).astype(np.float32)),
+            tmp_path / "pitch" / f"{name}--pitch.pt",
+        )
+        torch.save(
+            torch.from_numpy(np.abs(rng.standard_normal(T)).astype(np.float32)),
+            tmp_path / "energy" / f"{name}--energy.pt",
+        )
+        torch.save(
+            torch.full((T, 2), 0.5),
+            tmp_path / "attn" / f"{name}--characters-attn-prior.pt",
+        )
+
+    converted, skipped = convert_artifact_tree(tmp_path)
+    assert converted == 12 and skipped == 0
+    # idempotent: second run skips everything
+    converted2, skipped2 = convert_artifact_tree(tmp_path)
+    assert converted2 == 0 and skipped2 == 12
+
+    ds = FastSpeechDataset(items, cfg, {"default": 0, "lang2": 1}, {"default": 0})
+    for i, item in enumerate(items):
+        loaded = ds[i]
+        np.testing.assert_allclose(
+            loaded["mel"], golden[item["basename"]].T, rtol=0, atol=0
+        )
+        assert loaded["attn_prior"].shape == (18 + 6 * i, 2)
+
+
+def test_convert_artifacts_cli(tmp_path):
+    torch = pytest.importorskip("torch")
+    from click.testing import CliRunner
+
+    from fastspeech2_lightning_tpu.cli import app
+
+    (tmp_path / "pitch").mkdir()
+    torch.save(
+        torch.arange(5, dtype=torch.float32),
+        tmp_path / "pitch" / "u--default--default--pitch.pt",
+    )
+    result = CliRunner().invoke(app, ["convert-artifacts", str(tmp_path), "-V"])
+    assert result.exit_code == 0, result.output
+    assert "converted 1 artifacts" in result.output
+    out = np.load(tmp_path / "pitch" / "u--default--default--pitch.npy")
+    np.testing.assert_array_equal(out, np.arange(5, dtype=np.float32))
