@@ -20,11 +20,12 @@ from helpers import tiny_config, tiny_stats  # noqa: E402
 from torch_replica import TorchReferenceFastSpeech2  # noqa: E402
 
 
-def _make_ckpt(tmp_path, version=MODEL_VERSION, multispeaker=False):
+def _make_ckpt(tmp_path, version=MODEL_VERSION, multispeaker=False, multilingual=False):
     cfg = tiny_config(
         learn_alignment=True,
         use_postnet=True,
         multispeaker=multispeaker,
+        multilingual=multilingual,
         dtype="float32",
         max_mel_length=64,
     )
@@ -32,14 +33,18 @@ def _make_ckpt(tmp_path, version=MODEL_VERSION, multispeaker=False):
     n_symbols = len(TextProcessor(cfg.text).symbols)
     torch.manual_seed(1)
     replica = TorchReferenceFastSpeech2(
-        cfg, stats, n_symbols=n_symbols, n_speakers=2 if multispeaker else 1
+        cfg,
+        stats,
+        n_symbols=n_symbols,
+        n_speakers=2 if multispeaker else 1,
+        n_languages=2 if multilingual else 1,
     ).eval()
     ckpt = {
         "state_dict": replica.state_dict(),
         "hyper_parameters": {
             "config": cfg.model_dump(mode="json"),
             "stats": stats.model_dump(mode="json"),
-            "lang2id": {"default": 0},
+            "lang2id": {"default": 0, "l2": 1} if multilingual else {"default": 0},
             "speaker2id": {"default": 0, "spk2": 1} if multispeaker else {"default": 0},
         },
         "model_info": {"name": "FastSpeech2", "version": version},
@@ -81,6 +86,21 @@ def test_synthesizer_from_reference_ckpt_file(tmp_path):
     assert mel.shape[0] >= 1
     assert np.all(np.isfinite(mel))
     assert result.durations[0].sum() == mel.shape[0]
+
+
+def test_multispeaker_multilingual_ckpt(tmp_path):
+    """Speaker/language embeddings travel, and conditioning changes output."""
+    from fastspeech2_lightning_tpu.synthesis.api import Synthesizer
+
+    path, cfg, _ = _make_ckpt(tmp_path, multispeaker=True, multilingual=True)
+    synth = Synthesizer.from_checkpoint(path)
+    assert synth.speaker2id == {"default": 0, "spk2": 1}
+    assert synth.lang2id == {"default": 0, "l2": 1}
+    a = synth.synthesize(["abc"], speaker="default", language="default")
+    b = synth.synthesize(["abc"], speaker="spk2", language="l2")
+    # different embedding rows must change the mel (same text)
+    if a.mels[0].shape == b.mels[0].shape:
+        assert not np.allclose(a.mels[0], b.mels[0])
 
 
 def test_older_version_ckpt_migrates(tmp_path):
