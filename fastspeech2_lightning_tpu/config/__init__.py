@@ -343,6 +343,14 @@ class FastSpeech2TrainingConfig(ConfigModel):
         "Like torch DDP's per-rank dropout, rbg streams are statistically "
         "but not bitwise sharding-invariant.",
     )
+    halt_on_non_finite: bool = Field(
+        default=True,
+        description="Raise TrainingDivergedError when a fetched training "
+        "loss is NaN/inf instead of silently optimizing on garbage for the "
+        "rest of the run (losses are fetched on the logging cadence, so the "
+        "guard costs nothing extra). Resume from the last good checkpoint "
+        "after lowering the LR / inspecting the data.",
+    )
     max_epochs: int = Field(default=1000)
     max_steps: int = Field(default=100000)
     finetune_checkpoint: Optional[Path] = Field(default=None)

@@ -9,6 +9,7 @@ TensorBoard, checkpoints top-k on `validation/total_loss`."""
 from __future__ import annotations
 
 import json
+import math
 import time
 from pathlib import Path
 from typing import Optional
@@ -34,6 +35,22 @@ from .step import make_eval_step, make_train_step
 from ..preprocessing.stats import load_stats
 
 MONITOR = "validation/total_loss"
+
+
+def _guard_finite_losses(host: dict, step: int, enabled: bool) -> None:
+    """Failure detection (SURVEY.md §5.3): halt on a non-finite loss rather
+    than silently optimizing on garbage — one Adam step through a NaN
+    gradient poisons the moments permanently. Runs on the logging cadence
+    (the losses are already fetched), so it costs nothing extra."""
+    if not enabled or math.isfinite(host.get("total", 0.0)):
+        return
+    from ..exceptions import TrainingDivergedError
+
+    raise TrainingDivergedError(
+        f"non-finite training loss at step {step}: {host} — resume from the "
+        "last good checkpoint (set training.halt_on_non_finite=false to "
+        "override)"
+    )
 
 
 def _device_batch(batch: dict) -> dict:
@@ -295,6 +312,9 @@ class Trainer:
                     timed_from = (step, time.time())
                 if step % 50 == 0 or step == 1:
                     host = {k: float(v) for k, v in losses.items()}
+                    _guard_finite_losses(
+                        host, step, config.training.halt_on_non_finite
+                    )
                     for k, v in host.items():
                         self._log(f"training/{k}_loss" if k != "grad_norm" else "training/grad_norm", v, step)
                     sps = (step - timed_from[0]) / max(

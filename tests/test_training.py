@@ -342,3 +342,19 @@ def test_train_step_with_rbg_prng_key():
     np.testing.assert_allclose(
         float(losses1["total"]), float(losses2["total"]), rtol=1e-6
     )
+
+
+def test_non_finite_loss_guard():
+    """training.halt_on_non_finite raises TrainingDivergedError instead of
+    optimizing on NaNs for the rest of the run (failure detection §5.3)."""
+    import pytest
+
+    from fastspeech2_lightning_tpu.exceptions import TrainingDivergedError
+    from fastspeech2_lightning_tpu.training.loop import _guard_finite_losses
+
+    _guard_finite_losses({"total": 1.25, "spec": 0.5}, 50, enabled=True)
+    _guard_finite_losses({"total": float("nan")}, 50, enabled=False)
+    with pytest.raises(TrainingDivergedError, match="step 100"):
+        _guard_finite_losses({"total": float("nan")}, 100, enabled=True)
+    with pytest.raises(TrainingDivergedError):
+        _guard_finite_losses({"total": float("inf")}, 150, enabled=True)
