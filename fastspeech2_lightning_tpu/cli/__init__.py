@@ -470,6 +470,28 @@ def serve_cmd(model_path, vocoder_path, host, port, max_batch,
 
 
 @app.command(
+    "export-checkpoint",
+    help="Export an orbax checkpoint (step=N/) to a reference-compatible "
+    "PyTorch Lightning .ckpt, loadable by the reference/EveryVoice stack.",
+)
+@click.argument("ckpt_path", type=click.Path(exists=True, path_type=Path))
+@click.option(
+    "--output", "-o", type=click.Path(path_type=Path), required=True,
+    help="Output .ckpt file path.",
+)
+def export_checkpoint_cmd(ckpt_path: Path, output: Path):
+    from ..models.torch_export import export_reference_lightning_checkpoint
+
+    try:
+        out = export_reference_lightning_checkpoint(ckpt_path, output)
+    except ImportError as exc:
+        raise click.UsageError(
+            "exporting a .ckpt requires torch in this environment"
+        ) from exc
+    click.echo(f"exported {ckpt_path} -> {out}")
+
+
+@app.command(
     "convert-artifacts",
     help="Convert a reference preprocessed tree (.pt artifacts) to .npy in "
     "place, so a corpus preprocessed with the PyTorch reference trains here "
