@@ -452,15 +452,21 @@ def average_checkpoints_cmd(ckpt_dir: Path, output: Path, last, use_ema):
     help="bfloat16 runs the vocoder convs ~1.3x faster on TPU "
     "(~39 dB SNR vs float32 output).",
 )
+@click.option(
+    "--data-parallel", type=int, default=None,
+    help="Shard each micro-batch's rows over the first N chips "
+    "(throughput scales ~linearly; rows are independent).",
+)
 def serve_cmd(model_path, vocoder_path, host, port, max_batch,
-              batch_window_ms, max_frames, use_ema, vocoder_precision):
+              batch_window_ms, max_frames, use_ema, vocoder_precision,
+              data_parallel):
     from ..serving import serve
 
     server = serve(
         model_path, vocoder_path=vocoder_path, host=host, port=port,
         max_batch=max_batch, batch_window_ms=batch_window_ms,
         max_frames=max_frames, use_ema=use_ema,
-        vocoder_precision=vocoder_precision,
+        vocoder_precision=vocoder_precision, data_parallel=data_parallel,
     )
     click.echo(f"serving on http://{server.address[0]}:{server.address[1]}")
     try:

@@ -339,14 +339,18 @@ def serve(
     max_frames: Optional[int] = None,
     use_ema: bool = False,
     vocoder_precision: str = "float32",
+    data_parallel: Optional[int] = None,
 ) -> SynthesisServer:
-    """Load once, jit once, serve. Returns the (not yet started) server."""
+    """Load once, jit once, serve. Returns the (not yet started) server.
+
+    data_parallel: shard each micro-batch's rows over the first N chips."""
     from ..synthesis.api import Synthesizer
     from ..training.checkpoint import get_global_step
 
     syn = Synthesizer.from_checkpoint(
         model_path, vocoder_path=vocoder_path, max_frames=max_frames,
         use_ema=use_ema, vocoder_precision=vocoder_precision,
+        data_parallel=data_parallel,
     )
     try:
         step = get_global_step(model_path)

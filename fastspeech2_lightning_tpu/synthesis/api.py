@@ -48,6 +48,7 @@ class Synthesizer:
         speaker2id: dict,
         vocoder=None,
         max_frames: Optional[int] = None,
+        mesh=None,
     ):
         self.model = model
         self.variables = variables
@@ -59,6 +60,17 @@ class Synthesizer:
         self.text_processor = TextProcessor(config.text)
         self.max_frames = max_frames or config.model.max_mel_length
         self._predict_cache: Dict = {}
+        # data-parallel serving: batch rows shard over the mesh's data axis,
+        # variables replicate; XLA GSPMD handles the rest (no collectives in
+        # the forward — rows are independent)
+        self.mesh = mesh
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.variables = jax.device_put(
+                variables, NamedSharding(mesh, P())
+            )
 
     @classmethod
     def from_checkpoint(
@@ -68,7 +80,11 @@ class Synthesizer:
         max_frames: Optional[int] = None,
         use_ema: bool = False,
         vocoder_precision: str = "float32",
+        data_parallel: Optional[int] = None,
     ) -> "Synthesizer":
+        """data_parallel: shard request batches over the first N devices
+        (None = single device). Rows are independent, so throughput scales
+        ~linearly with chips at fixed per-chip batch."""
         from ..models.hifigan import load_vocoder_checkpoint
         from .synthesize import load_model_from_checkpoint
 
@@ -80,9 +96,14 @@ class Synthesizer:
             vocoder, _, _ = load_vocoder_checkpoint(
                 Path(vocoder_path), precision=vocoder_precision
             )
+        mesh = None
+        if data_parallel is not None and data_parallel > 1:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_devices=data_parallel, model_parallel=1)
         return cls(
             model, variables, config, stats, lang2id, speaker2id,
-            vocoder=vocoder, max_frames=max_frames,
+            vocoder=vocoder, max_frames=max_frames, mesh=mesh,
         )
 
     def _predict_fn(self, max_len: Optional[int] = None):
@@ -144,6 +165,19 @@ class Synthesizer:
             "energy": np.float32(energy_control),
             "duration": np.float32(duration_control),
         }
+        if self.mesh is not None:
+            # pad the batch to a multiple of the data axis (row-0 copies,
+            # sliced off below) and shard rows across the mesh
+            from ..parallel.mesh import shard_batch
+
+            n_data = self.mesh.shape["data"]
+            pad_rows = _round_up(B, n_data) - B
+            if pad_rows:
+                for k in ("text", "src_lens", "speaker_id", "language_id"):
+                    batch[k] = np.concatenate(
+                        [batch[k], np.repeat(batch[k][:1], pad_rows, axis=0)]
+                    )
+            batch = shard_batch(batch, self.mesh)
         cap = int(self.max_frames)
         # ~12 frames/symbol upper estimate (English @ 22.05 kHz / 256 hop is
         # typically 6-10); the duration-total check below corrects misses

@@ -271,3 +271,26 @@ def test_trainer_uses_mesh(tmp_path):
     state = trainer.fit(max_steps=2)
     # params ended up sharded/addressable across the mesh and training ran
     assert int(state.step) >= 2
+
+
+def test_data_parallel_synthesizer_matches_single_device(tmp_path):
+    """Synthesizer(data_parallel=4) shards request rows over the mesh and
+    produces the same mels/durations as the single-device path, including
+    when B doesn't divide the data axis (row-0 padding sliced off)."""
+    import numpy as np
+
+    from fastspeech2_lightning_tpu.synthesis.api import Synthesizer
+    from fastspeech2_lightning_tpu.testing import get_stubbed_model
+
+    _model, ckpt = get_stubbed_model(tmp_path)
+    single = Synthesizer.from_checkpoint(ckpt, max_frames=128)
+    dp = Synthesizer.from_checkpoint(ckpt, max_frames=128, data_parallel=4)
+    assert dp.mesh is not None and dp.mesh.shape["data"] == 4
+
+    texts = ["abc", "a b c d e", "zz"]  # B=3: forces padding to 4
+    a = single.synthesize(texts, adaptive_max_frames=False)
+    b = dp.synthesize(texts, adaptive_max_frames=False)
+    assert len(b.mels) == 3
+    for i in range(3):
+        np.testing.assert_allclose(a.mels[i], b.mels[i], rtol=0, atol=2e-5)
+        np.testing.assert_array_equal(a.durations[i], b.durations[i])

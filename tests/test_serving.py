@@ -143,3 +143,29 @@ def test_adaptive_frame_buckets_match_fixed(tmp_path):
         fixed.mels[0], adaptive.mels[0], atol=1e-5, rtol=1e-5
     )
     np.testing.assert_array_equal(fixed.durations[0], adaptive.durations[0])
+
+
+def test_serve_data_parallel_mesh(tmp_path):
+    """serve(data_parallel=N) builds a Synthesizer with an N-wide data mesh
+    and answers a request (rows shard across virtual devices)."""
+    import io
+
+    from fastspeech2_lightning_tpu.serving.server import serve
+
+    _model, ckpt = get_stubbed_model(tmp_path)
+    srv = serve(ckpt, port=0, max_batch=4, data_parallel=2, max_frames=128)
+    try:
+        srv.start()
+        assert srv.synthesizer.mesh is not None
+        assert srv.synthesizer.mesh.shape["data"] == 2
+        body = json.dumps({"text": "abc", "format": "mel"}).encode()
+        req = urllib.request.Request(
+            f"http://{srv.address[0]}:{srv.address[1]}/synthesize",
+            data=body, headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            assert resp.status == 200
+            mel = np.load(io.BytesIO(resp.read()))
+        assert mel.ndim == 2 and mel.shape[0] > 0
+    finally:
+        srv.shutdown()
