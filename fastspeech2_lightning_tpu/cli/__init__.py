@@ -94,7 +94,9 @@ def train(config_file: Path, config_args, max_steps, resume, model_parallel, dis
         jax.distributed.initialize(**kwargs)
     from ..config import load_config_base_command
     from ..training.loop import Trainer
+    from ..utils.compile_cache import enable_persistent_cache
 
+    enable_persistent_cache()
     config = load_config_base_command(config_file, list(config_args))
     trainer = Trainer(config, model_parallel=model_parallel)
     trainer.fit(max_steps=max_steps, resume=resume)
@@ -194,6 +196,9 @@ def synthesize(
     from ..synthesis.prepare import prepare_data
     from ..synthesis.synthesize import load_model_from_checkpoint, synthesize_items
     from ..synthesis.writers import get_synthesis_output_writers
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     (
         model, variables, config, stats, lang2id, speaker2id, global_step,
@@ -304,7 +309,9 @@ def benchmark(
     from ..models import FastSpeech2
     from ..preprocessing.stats import load_stats
     from ..text import TextProcessor, lookuptables_from_config
+    from ..utils.compile_cache import enable_persistent_cache
 
+    enable_persistent_cache()
     config = load_config_base_command(config_file, list(config_args))
     stats = load_stats(Path(config.preprocessing.save_dir) / "stats.json")
     lang2id, speaker2id = lookuptables_from_config(config)
@@ -457,16 +464,24 @@ def average_checkpoints_cmd(ckpt_dir: Path, output: Path, last, use_ema):
     help="Shard each micro-batch's rows over the first N chips "
     "(throughput scales ~linearly; rows are independent).",
 )
+@click.option(
+    "--warmup/--no-warmup", default=False,
+    help="Pre-compile every serving shape bucket before accepting requests "
+    "(with the persistent compile cache, restarts warm from disk).",
+)
 def serve_cmd(model_path, vocoder_path, host, port, max_batch,
               batch_window_ms, max_frames, use_ema, vocoder_precision,
-              data_parallel):
+              data_parallel, warmup):
     from ..serving import serve
+    from ..utils.compile_cache import enable_persistent_cache
 
+    enable_persistent_cache()
     server = serve(
         model_path, vocoder_path=vocoder_path, host=host, port=port,
         max_batch=max_batch, batch_window_ms=batch_window_ms,
         max_frames=max_frames, use_ema=use_ema,
         vocoder_precision=vocoder_precision, data_parallel=data_parallel,
+        warmup=warmup,
     )
     click.echo(f"serving on http://{server.address[0]}:{server.address[1]}")
     try:

@@ -340,10 +340,14 @@ def serve(
     use_ema: bool = False,
     vocoder_precision: str = "float32",
     data_parallel: Optional[int] = None,
+    warmup: bool = False,
 ) -> SynthesisServer:
     """Load once, jit once, serve. Returns the (not yet started) server.
 
-    data_parallel: shard each micro-batch's rows over the first N chips."""
+    data_parallel: shard each micro-batch's rows over the first N chips.
+    warmup: pre-compile every serving shape bucket before returning, so the
+    first request never waits on a jit compile (pairs with the persistent
+    compilation cache: a restarted server warms from disk)."""
     from ..synthesis.api import Synthesizer
     from ..training.checkpoint import get_global_step
 
@@ -352,6 +356,9 @@ def serve(
         use_ema=use_ema, vocoder_precision=vocoder_precision,
         data_parallel=data_parallel,
     )
+    if warmup:
+        n = syn.warmup(max_batch)
+        logger.info("warmup compiled %d programs", n)
     try:
         step = get_global_step(model_path)
     except Exception:

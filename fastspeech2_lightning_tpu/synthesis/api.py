@@ -241,6 +241,78 @@ class Synthesizer:
             mels=mels, durations=durations, wavs=wavs, sample_rate=sr
         )
 
+    def warmup(
+        self,
+        batch_size: int,
+        text_buckets: Optional[List[int]] = None,
+        include_vocoder: bool = True,
+    ) -> int:
+        """Pre-compile the serving shape set so the first real request never
+        stalls on a jit compile (with the persistent compilation cache
+        enabled, a restarted server warms from disk in seconds).
+
+        The compiled-program space is (batch_size, text bucket L, frame
+        bucket est(L)) for the acoustic forward plus (batch_size, 128k)
+        frame buckets for the vocoder. Text buckets default to every
+        PAD_MULT_TEXT multiple up to the corpus chunker's max chunk length —
+        exactly the lengths the serving splitter can emit.
+
+        Returns the number of distinct programs visited.
+        """
+        cap = int(self.max_frames)
+        if text_buckets is None:
+            from ..config import DatasetTextRepresentation
+            from .prepare import get_text_split_params
+
+            try:
+                _, maxi, _, _ = get_text_split_params(
+                    self.stats, DatasetTextRepresentation.characters,
+                    self.config, None,
+                )
+            except Exception:
+                maxi = 128
+            top = _round_up(max(int(maxi), PAD_MULT_TEXT), PAD_MULT_TEXT)
+            text_buckets = list(range(PAD_MULT_TEXT, top + 1, PAD_MULT_TEXT))
+        ctrl = {
+            "pitch": np.float32(1.0),
+            "energy": np.float32(1.0),
+            "duration": np.float32(1.0),
+        }
+        n = 0
+        frame_buckets = set()
+        for L in sorted(set(int(b) for b in text_buckets)):
+            est = min(cap, _round_up(12 * L, 128))
+            frame_buckets.add(est)
+            batch = {
+                "text": np.ones((batch_size, L), dtype=np.int32),
+                "src_lens": np.full(batch_size, L, dtype=np.int32),
+                "mel": None,
+                "mel_lens": None,
+                "speaker_id": np.zeros(batch_size, dtype=np.int32),
+                "language_id": np.zeros(batch_size, dtype=np.int32),
+            }
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                batch = shard_batch(batch, self.mesh)
+            self._predict_fn(est)(self.variables, batch, ctrl)
+            n += 1
+        if include_vocoder and self.vocoder is not None:
+            device_fn = getattr(self.vocoder, "device_fn", None)
+            # every 128-multiple the trimmed-vocode path can hit, up to the
+            # largest acoustic bucket just compiled
+            for t in range(128, max(frame_buckets) + 1, 128):
+                mel = np.zeros(
+                    (batch_size, t, self.config.preprocessing.audio.n_mels),
+                    dtype=np.float32,
+                )
+                if device_fn is not None:
+                    device_fn(mel)
+                else:
+                    self.vocoder(mel)
+                n += 1
+        return n
+
     def synthesize_long(self, text: str, **kwargs) -> SynthesisResult:
         """Long-form synthesis: chunk at the corpus-informed boundaries
         (fs2 chunking semantics), synthesize the chunks as one batch, and

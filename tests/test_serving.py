@@ -169,3 +169,22 @@ def test_serve_data_parallel_mesh(tmp_path):
         assert mel.ndim == 2 and mel.shape[0] > 0
     finally:
         srv.shutdown()
+
+
+def test_warmup_precompiles_serving_buckets(tmp_path):
+    """Synthesizer.warmup visits the (batch, text-bucket, frame-bucket)
+    shape set so a following synthesize call hits only warm programs."""
+    from fastspeech2_lightning_tpu.testing import get_stubbed_vocoder
+
+    _, ckpt = get_stubbed_model(tmp_path)
+    _voc, voc_path = get_stubbed_vocoder(tmp_path)
+    syn = Synthesizer.from_checkpoint(ckpt, vocoder_path=voc_path, max_frames=128)
+    n = syn.warmup(batch_size=2, text_buckets=[16, 32])
+    # 2 acoustic buckets (both estimate to the 128 cap) + vocoder buckets
+    assert n >= 3
+    # both frame buckets' programs are resident
+    assert ("fn", 128) in syn._predict_cache
+    before = set(syn._predict_cache)
+    out = syn.synthesize(["ab", "cd"])  # L rounds to 16 -> warmed bucket
+    assert set(syn._predict_cache) == before
+    assert out.wavs is not None and len(out.wavs) == 2
