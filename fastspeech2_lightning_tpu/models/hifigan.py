@@ -46,6 +46,40 @@ class HiFiGANConfig:
             out *= u
         return out
 
+    @property
+    def receptive_margin_frames(self) -> int:
+        """One-sided receptive field of the generator, in mel frames
+        (ceil). A mel slice with this much context on each side produces
+        output identical to vocoding the full signal in the interior
+        region — the contract the windowed/streaming vocoder
+        (synthesis/streaming.py) is built on."""
+        import math
+
+        rate = 1.0  # output samples per mel frame at the current depth
+        margin = 3.0  # conv_pre k=7 -> (7-1)/2 frames
+        for u, k in zip(self.upsample_rates, self.upsample_kernel_sizes):
+            # ConvTranspose1d(k, stride=u, padding=p): output o draws on
+            # inputs i with o = i*u + j - p, j in [0, k) -> reach is
+            # max(p, k-1-p)/u input units on a side
+            p = (k - u) // 2
+            margin += math.ceil(max(p, k - 1 - p) / u) / rate
+            rate *= u
+            # widest of the parallel resblocks at the upsampled rate;
+            # sequential convs inside a block accumulate reach
+            reach = 0
+            for rk, dils in zip(
+                self.resblock_kernel_sizes, self.resblock_dilation_sizes
+            ):
+                half = (rk - 1) // 2
+                if self.resblock == "1":
+                    r = sum(half * d + half for d in dils)
+                else:
+                    r = sum(half * d for d in dils)
+                reach = max(reach, r)
+            margin += reach / rate
+        margin += 3.0 / rate  # conv_post k=7
+        return int(math.ceil(margin))
+
 
 def _conv1d(x, w, b, dilation: int = 1):
     """x [B, T, Cin], w [K, Cin, Cout] -> [B, T, Cout], SAME padding."""
@@ -380,4 +414,6 @@ def make_vocoder_fn(
     # Synthesizer) skip the host round-trip between model and vocoder
     vocoder.device_fn = lambda mel_dev: gen(params, mel_dev.astype(in_dt))
     vocoder.sample_rate = config.sampling_rate
+    vocoder.hop = config.total_upsampling
+    vocoder.receptive_margin_frames = config.receptive_margin_frames
     return vocoder

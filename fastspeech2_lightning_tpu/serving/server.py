@@ -268,6 +268,48 @@ class SynthesisServer:
                     float(req.get("energy", 1.0)),
                     float(req.get("duration", 1.0)),
                 )
+                if fmt == "wav" and req.get("low_latency"):
+                    # windowed streaming vocoder: first audio after one
+                    # acoustic forward + one vocoder window, bypassing the
+                    # micro-batcher (latency over occupancy; see
+                    # docs/DEPLOYMENT.md)
+                    syn_kwargs = dict(
+                        language=req.get("language"),
+                        speaker=req.get("speaker"),
+                        pitch_control=float(req.get("pitch", 1.0)),
+                        energy_control=float(req.get("energy", 1.0)),
+                        duration_control=float(req.get("duration", 1.0)),
+                    )
+                    try:
+                        gen = syn.synthesize_stream(
+                            text,
+                            window=int(req.get("window", 128)),
+                            **syn_kwargs,
+                        )
+                        first = next(gen)
+                    except Exception as exc:
+                        self._json(400, {"error": str(exc)})
+                        return
+                    sr = syn.vocoder.sample_rate
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                    self._chunked(wav_stream_header(sr))
+                    self._chunked(pcm16(first))
+                    try:
+                        for seg in gen:
+                            self._chunked(pcm16(seg))
+                    except Exception as exc:
+                        logger.error(f"wav stream aborted mid-response: {exc}")
+                        self.close_connection = True
+                    try:
+                        self.wfile.write(b"0\r\n\r\n")
+                        self.wfile.flush()
+                    except OSError:
+                        pass
+                    return
+
                 try:
                     chunks = server._chunks_for(text, req.get("language"))
                 except Exception as exc:

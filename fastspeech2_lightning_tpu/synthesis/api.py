@@ -133,6 +133,7 @@ class Synthesizer:
         energy_control: float = 1.0,
         duration_control: float = 1.0,
         adaptive_max_frames: bool = True,
+        vocode: bool = True,
     ) -> SynthesisResult:
         """adaptive_max_frames: run the forward at a text-length-derived
         128-multiple frame bucket instead of always max_frames (the decoder,
@@ -200,7 +201,7 @@ class Synthesizer:
         key = "postnet_output" if self.config.model.use_postnet else "output"
 
         wav_dev = None
-        if self.vocoder is not None:
+        if self.vocoder is not None and vocode:
             # trim the padded mels to a 128-multiple of the longest
             # utterance before vocoding: the vocoder dominates pipeline cost
             # (~34x the acoustic model's FLOPs per frame) and scales with T,
@@ -229,7 +230,7 @@ class Synthesizer:
 
         wavs = None
         sr = None
-        if self.vocoder is not None:
+        if wav_dev is not None:
             sr = getattr(
                 self.vocoder, "sample_rate",
                 self.config.preprocessing.audio.output_sampling_rate,
@@ -313,23 +314,53 @@ class Synthesizer:
                 n += 1
         return n
 
-    def synthesize_long(self, text: str, **kwargs) -> SynthesisResult:
-        """Long-form synthesis: chunk at the corpus-informed boundaries
-        (fs2 chunking semantics), synthesize the chunks as one batch, and
-        reassemble a single utterance."""
+    def _chunk_text(self, text: str, language: Optional[str]) -> List[str]:
         from ..config import DatasetTextRepresentation
         from ..text.textsplit import chunk_text
         from .prepare import get_text_split_params
 
         desired, maxi, strong, weak = get_text_split_params(
             self.stats, DatasetTextRepresentation.characters, self.config,
-            kwargs.get("language"),
+            language,
         )
-        chunks = (
+        return (
             chunk_text(text, desired, maxi, strong, weak)
             if self.config.text.split_text
             else [text]
         )
+
+    def synthesize_stream(
+        self,
+        text: str,
+        window: int = 128,
+        margin: Optional[int] = None,
+        **kwargs,
+    ):
+        """Low-latency long-form synthesis: yield float32 wav segments as
+        they are produced instead of waiting for the whole utterance.
+
+        One acoustic forward covers all text chunks (it is ~34x cheaper per
+        frame than the vocoder); the vocoder then runs in fixed
+        (window + 2*margin)-frame slices whose concatenation is identical
+        to full-utterance vocoding (synthesis/streaming.py). TTFA is one
+        acoustic forward + one vocoder window, independent of text length.
+        """
+        if self.vocoder is None:
+            raise ValueError("synthesize_stream requires a loaded vocoder")
+        from .streaming import windowed_vocode
+
+        chunks = self._chunk_text(text, kwargs.get("language"))
+        result = self.synthesize(chunks, vocode=False, **kwargs)
+        for mel in result.mels:
+            yield from windowed_vocode(
+                self.vocoder, mel, window=window, margin=margin
+            )
+
+    def synthesize_long(self, text: str, **kwargs) -> SynthesisResult:
+        """Long-form synthesis: chunk at the corpus-informed boundaries
+        (fs2 chunking semantics), synthesize the chunks as one batch, and
+        reassemble a single utterance."""
+        chunks = self._chunk_text(text, kwargs.get("language"))
         result = self.synthesize(chunks, **kwargs)
         mel = np.concatenate(result.mels, axis=0)
         durations = np.concatenate(result.durations)

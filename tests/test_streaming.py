@@ -1,0 +1,121 @@
+"""Windowed/streaming vocoder (synthesis/streaming.py): TTFA path.
+
+Contract: concatenating the streamed segments equals vocoding the whole mel
+in one call — the window margin covers the generator's receptive field, so
+every emitted sample's context lies inside its slice."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from fastspeech2_lightning_tpu.models.hifigan import HiFiGANConfig
+from fastspeech2_lightning_tpu.synthesis.api import Synthesizer
+from fastspeech2_lightning_tpu.synthesis.streaming import windowed_vocode
+from fastspeech2_lightning_tpu.testing import get_stubbed_model, get_stubbed_vocoder
+
+
+@pytest.fixture(scope="module")
+def vocoder(tmp_path_factory):
+    voc, _ = get_stubbed_vocoder(tmp_path_factory.mktemp("voc"))
+    return voc
+
+
+def _full(voc, mel):
+    wav, _sr = voc(mel[None])
+    return np.asarray(wav, dtype=np.float32)[0]
+
+
+@pytest.mark.parametrize("window", [32, 64, 100])
+def test_windowed_matches_full(vocoder, window):
+    mel = np.random.default_rng(0).normal(size=(300, 20)).astype(np.float32)
+    segs = list(windowed_vocode(vocoder, mel, window=window))
+    assert len(segs) > 1
+    out = np.concatenate(segs)
+    full = _full(vocoder, mel)
+    assert out.shape == full.shape
+    np.testing.assert_allclose(out, full, atol=2e-5)
+
+
+def test_short_mel_single_call(vocoder):
+    """T <= window + 2*margin falls back to one full call."""
+    mel = np.random.default_rng(1).normal(size=(40, 20)).astype(np.float32)
+    segs = list(windowed_vocode(vocoder, mel, window=128))
+    assert len(segs) == 1
+    np.testing.assert_allclose(segs[0], _full(vocoder, mel), atol=2e-5)
+
+
+def test_margin_defaults_to_receptive_field(vocoder):
+    """The default margin is the generator's computed one-sided receptive
+    field; an explicit too-small margin visibly breaks the equality, which
+    proves the bound is load-bearing."""
+    assert vocoder.receptive_margin_frames == HiFiGANConfig(
+        upsample_rates=(8, 8, 2, 2),
+        upsample_kernel_sizes=(16, 16, 4, 4),
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+    ).receptive_margin_frames
+    mel = np.random.default_rng(2).normal(size=(300, 20)).astype(np.float32)
+    full = _full(vocoder, mel)
+    ok = np.concatenate(list(windowed_vocode(vocoder, mel, window=64)))
+    np.testing.assert_allclose(ok, full, atol=2e-5)
+    bad = np.concatenate(
+        list(windowed_vocode(vocoder, mel, window=64, margin=0))
+    )
+    # stub-vocoder amplitudes are ~1e-6, so measure relative to the signal:
+    # dropping the margin corrupts window edges by ~50% of peak amplitude
+    assert np.abs(bad - full).max() > 0.05 * np.abs(full).max()
+
+
+def test_v1_receptive_margin_value():
+    # hand-derived for the V1 generator: conv_pre 3 + stage ctx
+    # (2 + 7.5 + .25 + .94 + .016 + .47 + .008 + .23) + conv_post .012 -> 15
+    assert HiFiGANConfig().receptive_margin_frames == 15
+
+
+def test_synthesize_stream_matches_per_mel_vocode(tmp_path):
+    _, ckpt = get_stubbed_model(tmp_path)
+    _voc, voc_path = get_stubbed_vocoder(tmp_path)
+    syn = Synthesizer.from_checkpoint(ckpt, vocoder_path=voc_path, max_frames=128)
+    text = "abcd efg hij. klm nopq rstu."
+    segs = list(syn.synthesize_stream(text, window=32))
+    assert len(segs) >= 1
+    streamed = np.concatenate(segs)
+    mels = syn.synthesize(
+        syn._chunk_text(text, None), vocode=False
+    ).mels
+    direct = np.concatenate([_full(syn.vocoder, m) for m in mels])
+    assert streamed.shape == direct.shape
+    np.testing.assert_allclose(streamed, direct, atol=2e-5)
+
+
+def test_server_low_latency_stream(tmp_path):
+    from fastspeech2_lightning_tpu.serving.server import serve
+
+    _, ckpt = get_stubbed_model(tmp_path)
+    _voc, voc_path = get_stubbed_vocoder(tmp_path)
+    srv = serve(ckpt, vocoder_path=voc_path, port=0, max_batch=2, max_frames=128)
+    try:
+        srv.start()
+        body = json.dumps(
+            {"text": "abc def", "low_latency": True, "window": 32}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://{srv.address[0]}:{srv.address[1]}/synthesize",
+            data=body, headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"] == "audio/wav"
+            data = resp.read()
+        assert data[:4] == b"RIFF"
+        n_samples = (len(data) - 44) // 2
+        expected = sum(
+            len(s) for s in srv.synthesizer.synthesize_stream(
+                "abc def", window=32
+            )
+        )
+        assert n_samples == expected
+    finally:
+        srv.shutdown()
