@@ -20,11 +20,13 @@ TPU sees a handful of compiled shapes.
 
 from __future__ import annotations
 
+import collections
 import json
 import logging
 import queue
 import struct
 import threading
+import time
 from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from io import BytesIO
@@ -72,16 +74,62 @@ class _ChunkJob:
         self.future: Future = Future()
 
 
+class _Stats:
+    """Thread-safe serving counters surfaced at GET /stats."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.started_at = time.time()
+        self.counters: collections.Counter = collections.Counter()
+        # rolling window of device-dispatch wall times (seconds)
+        self._batch_seconds: collections.deque = collections.deque(maxlen=512)
+
+    def incr(self, name: str, n: int = 1) -> None:
+        with self._lock:
+            self.counters[name] += n
+
+    def record_batch(self, occupied: int, size: int, seconds: float) -> None:
+        with self._lock:
+            self.counters["batches_dispatched"] += 1
+            self.counters["rows_occupied"] += occupied
+            self.counters["rows_dispatched"] += size
+            self._batch_seconds.append(seconds)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            out = dict(self.counters)
+            lat = list(self._batch_seconds)
+            out["uptime_s"] = round(time.time() - self.started_at, 3)
+        dispatched = out.get("rows_dispatched", 0)
+        if dispatched:
+            out["batch_occupancy"] = round(
+                out.get("rows_occupied", 0) / dispatched, 4
+            )
+        if lat:
+            lat_ms = sorted(s * 1000.0 for s in lat)
+
+            def pct(p):
+                i = min(len(lat_ms) - 1, int(round(p / 100 * (len(lat_ms) - 1))))
+                return round(lat_ms[i], 2)
+
+            out["batch_ms"] = {
+                "p50": pct(50), "p95": pct(95), "p99": pct(99),
+                "window": len(lat_ms),
+            }
+        return out
+
+
 class _Batcher:
     """Background micro-batcher: drains the job queue, groups consecutive
     jobs that share a (language, speaker, controls) key, pads the group to
     `max_batch` rows (fixed compiled shape) and runs ONE predict call."""
 
     def __init__(self, synthesizer, max_batch: int = 8,
-                 batch_window_ms: float = 5.0):
+                 batch_window_ms: float = 5.0, stats: Optional[_Stats] = None):
         self.synthesizer = synthesizer
         self.max_batch = max_batch
         self.batch_window = batch_window_ms / 1000.0
+        self.stats = stats or _Stats()
         self.jobs: "queue.Queue[Optional[_ChunkJob]]" = queue.Queue()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -126,6 +174,7 @@ class _Batcher:
             while len(texts) < self.max_batch:
                 texts.append(texts[0])
             language, speaker, pitch, energy, duration = group[0].key
+            t0 = time.time()
             try:
                 result = self.synthesizer.synthesize(
                     texts,
@@ -135,12 +184,16 @@ class _Batcher:
                     energy_control=energy,
                     duration_control=duration,
                 )
+                self.stats.record_batch(
+                    len(group), self.max_batch, time.time() - t0
+                )
                 for i, job in enumerate(group):
                     wav = result.wavs[i] if result.wavs is not None else None
                     job.future.set_result(
                         (result.mels[i], wav, result.sample_rate)
                     )
             except Exception as exc:  # surface to every waiting request
+                self.stats.incr("batch_errors")
                 for job in group:
                     if not job.future.done():
                         job.future.set_exception(exc)
@@ -154,7 +207,10 @@ class SynthesisServer:
                  global_step: int = 0):
         self.synthesizer = synthesizer
         self.global_step = global_step
-        self.batcher = _Batcher(synthesizer, max_batch, batch_window_ms)
+        self.stats = _Stats()
+        self.batcher = _Batcher(
+            synthesizer, max_batch, batch_window_ms, stats=self.stats
+        )
         handler = self._make_handler()
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self._serve_thread: Optional[threading.Thread] = None
@@ -223,6 +279,9 @@ class SynthesisServer:
                 self.wfile.write(body)
 
             def do_GET(self):
+                if self.path == "/stats":
+                    self._json(200, server.stats.snapshot())
+                    return
                 if self.path != "/health":
                     self._json(404, {"error": f"unknown path {self.path}"})
                     return
@@ -249,11 +308,13 @@ class SynthesisServer:
                 if self.path != "/synthesize":
                     self._json(404, {"error": f"unknown path {self.path}"})
                     return
+                server.stats.incr("requests")
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     req = json.loads(self.rfile.read(n) or b"{}")
                     text = req["text"]
                 except (KeyError, ValueError) as exc:
+                    server.stats.incr("request_errors")
                     self._json(400, {"error": f"bad request: {exc}"})
                     return
                 fmt = req.get("format", "wav")
@@ -269,6 +330,7 @@ class SynthesisServer:
                     float(req.get("duration", 1.0)),
                 )
                 if fmt == "wav" and req.get("low_latency"):
+                    server.stats.incr("low_latency_requests")
                     # windowed streaming vocoder: first audio after one
                     # acoustic forward + one vocoder window, bypassing the
                     # micro-batcher (latency over occupancy; see
@@ -320,6 +382,7 @@ class SynthesisServer:
                     job = _ChunkJob(c, key)
                     server.batcher.submit(job)
                     jobs.append(job)
+                server.stats.incr("chunks", len(jobs))
 
                 if fmt == "mel":
                     try:

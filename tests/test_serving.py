@@ -188,3 +188,35 @@ def test_warmup_precompiles_serving_buckets(tmp_path):
     out = syn.synthesize(["ab", "cd"])  # L rounds to 16 -> warmed bucket
     assert set(syn._predict_cache) == before
     assert out.wavs is not None and len(out.wavs) == 2
+
+
+def test_stats_endpoint(tmp_path):
+    """GET /stats reports request/batch counters and occupancy after real
+    traffic has flowed through the micro-batcher."""
+    import io
+
+    from fastspeech2_lightning_tpu.serving.server import serve
+
+    _, ckpt = get_stubbed_model(tmp_path)
+    srv = serve(ckpt, port=0, max_batch=4, max_frames=128)
+    try:
+        srv.start()
+        base = f"http://{srv.address[0]}:{srv.address[1]}"
+        body = json.dumps({"text": "abc", "format": "mel"}).encode()
+        req = urllib.request.Request(
+            f"{base}/synthesize", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            np.load(io.BytesIO(resp.read()))
+        with urllib.request.urlopen(f"{base}/stats", timeout=30) as resp:
+            stats = json.loads(resp.read())
+        assert stats["requests"] == 1
+        assert stats["chunks"] >= 1
+        assert stats["batches_dispatched"] >= 1
+        assert 0 < stats["batch_occupancy"] <= 1
+        assert stats["batch_ms"]["p50"] > 0
+        assert stats["uptime_s"] > 0
+        assert "request_errors" not in stats
+    finally:
+        srv.shutdown()
