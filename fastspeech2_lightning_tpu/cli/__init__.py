@@ -148,6 +148,11 @@ def train(config_file: Path, config_args, max_steps, resume, model_parallel, dis
     default=Path("synthesis_output"),
 )
 @click.option("--batch-size", "-b", type=int, default=None)
+@click.option(
+    "--data-parallel", type=int, default=None,
+    help="Shard each batch's rows over the first N chips (bulk corpus "
+    "synthesis scales ~linearly; rows are independent).",
+)
 @click.option("--teacher-forcing-directory", "-T", type=click.Path(path_type=Path), default=None)
 @click.option(
     "--use-ema/--no-use-ema",
@@ -172,6 +177,7 @@ def synthesize(
     style_reference,
     output_dir,
     batch_size,
+    data_parallel,
     teacher_forcing_directory,
     use_ema,
     config_args,
@@ -265,9 +271,14 @@ def synthesize(
         global_step, vocoder=vocoder,
         vocoder_global_step=vocoder_global_step, output_hop_size=output_hop,
     )
+    mesh = None
+    if data_parallel is not None and data_parallel > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_devices=data_parallel, model_parallel=1)
     synthesize_items(
         items, model, variables, config, lang2id, speaker2id, writers,
-        batch_size=batch_size,
+        batch_size=batch_size, mesh=mesh,
         teacher_forcing=teacher_forcing_directory is not None,
         control={
             "pitch": pitch_control,

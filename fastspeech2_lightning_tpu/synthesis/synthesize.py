@@ -100,9 +100,24 @@ def synthesize_items(
     return_scores: bool = False,
     control: Optional[Dict[str, float]] = None,
     max_target_len: Optional[int] = None,
+    mesh=None,
 ) -> None:
-    """Run batched inference over prepared items, driving the writers."""
+    """Run batched inference over prepared items, driving the writers.
+
+    mesh: optional (data, model) device mesh — batch rows shard over the
+    data axis (bulk corpus synthesis scales ~linearly with chips; rows are
+    independent so the forward has no collectives). Partial batches pad by
+    repeating row 0; padded rows are sliced off before the writers run.
+    """
     batch_size = batch_size or config.training.batch_size
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        # keep the dispatched batch a multiple of the data axis
+        batch_size = max(batch_size // n_data, 1) * n_data
+        variables = jax.device_put(
+            variables,
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+        )
     if return_scores:
         batch_size = 1  # per-utterance scores (check_data.py:194-217)
     style_reference = any("mel_style_reference" in it for it in items)
@@ -137,6 +152,12 @@ def synthesize_items(
 
     for start in range(0, len(ds), batch_size):
         samples = [ds[i] for i in range(start, min(start + batch_size, len(ds)))]
+        n_true = len(samples)
+        if mesh is not None:
+            n_data = mesh.shape["data"]
+            samples = samples + [samples[0]] * (
+                _round_up(n_true, n_data) - n_true
+            )
         # pad text to a multiple of 16 so distinct input lengths share a small
         # set of compiled programs (static-shape discipline, SURVEY.md §5.7)
         pad_text = _round_up(
@@ -148,6 +169,10 @@ def synthesize_items(
             pad_mel_to=None if samples[0].get("mel") is not None else max_target_len,
         )
         device_batch = {k: v for k, v in batch.items() if k not in host_keys}
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            device_batch = shard_batch(device_batch, mesh)
         # rename: at inference the aligner prior is not used; precomputed
         # duration field only exists under teacher forcing
         out = predict(
@@ -157,6 +182,23 @@ def synthesize_items(
         out_host = jax.tree_util.tree_map(
             lambda x: np.asarray(x) if hasattr(x, "shape") else x, out
         )
+        if len(samples) != n_true:
+            # slice off the data-axis fill rows before any writer sees them
+            b_pad = len(samples)
+
+            def _trim(x):
+                if (
+                    hasattr(x, "shape")
+                    and getattr(x, "ndim", 0) >= 1
+                    and x.shape[0] == b_pad
+                ):
+                    return x[:n_true]
+                if isinstance(x, list) and len(x) == b_pad:
+                    return x[:n_true]
+                return x
+
+            out_host = jax.tree_util.tree_map(_trim, out_host)
+            batch = {k: _trim(v) for k, v in batch.items()}
         if return_scores:
             losses = compute_loss(config, out, device_batch, 0)
             out_host["losses"] = {

@@ -294,3 +294,51 @@ def test_data_parallel_synthesizer_matches_single_device(tmp_path):
     for i in range(3):
         np.testing.assert_allclose(a.mels[i], b.mels[i], rtol=0, atol=2e-5)
         np.testing.assert_array_equal(a.durations[i], b.durations[i])
+
+
+def test_synthesize_items_data_parallel_matches_single(tmp_path):
+    """`synthesize --data-parallel N`: synthesize_items on a 2-wide data
+    mesh writes the same spec files as the single-device path, including a
+    partial final batch (fill rows sliced before the writers run)."""
+    from fastspeech2_lightning_tpu.parallel.mesh import make_mesh
+    from fastspeech2_lightning_tpu.synthesis.prepare import prepare_data
+    from fastspeech2_lightning_tpu.synthesis.synthesize import (
+        load_model_from_checkpoint,
+        synthesize_items,
+    )
+    from fastspeech2_lightning_tpu.synthesis.writers import (
+        get_synthesis_output_writers,
+    )
+    from fastspeech2_lightning_tpu.testing import get_stubbed_model
+    from fastspeech2_lightning_tpu.type_definitions import SynthesizeOutputFormats
+
+    _model, ckpt = get_stubbed_model(tmp_path)
+    model, variables, config, stats, lang2id, speaker2id, step = (
+        load_model_from_checkpoint(ckpt)
+    )
+    config.model.max_mel_length = 128
+    texts = ["abc", "de fgh", "ij"]  # B=3: odd vs the 2-wide data axis
+
+    def run(out_dir, mesh):
+        items = prepare_data(
+            texts=texts, language=None, speaker=None, filelist=None,
+            config=config, stats=stats, lang2id=lang2id,
+            speaker2id=speaker2id,
+        )
+        writers = get_synthesis_output_writers(
+            [SynthesizeOutputFormats.spec], out_dir, config, "output", step,
+        )
+        synthesize_items(
+            items, model, variables, config, lang2id, speaker2id, writers,
+            batch_size=4, mesh=mesh,
+        )
+        return sorted(out_dir.glob("**/*.npy"))
+
+    single = run(tmp_path / "single", None)
+    mesh = make_mesh(n_devices=2, model_parallel=1)
+    dp = run(tmp_path / "dp", mesh)
+    assert [p.name for p in single] == [p.name for p in dp] and len(single) == 3
+    for a, b in zip(single, dp):
+        np.testing.assert_allclose(
+            np.load(a), np.load(b), rtol=0, atol=2e-5
+        )
