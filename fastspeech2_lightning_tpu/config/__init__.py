@@ -343,6 +343,17 @@ class FastSpeech2TrainingConfig(ConfigModel):
         "Like torch DDP's per-rank dropout, rbg streams are statistically "
         "but not bitwise sharding-invariant.",
     )
+    async_checkpoint: bool = Field(
+        default=False,
+        description="Overlap checkpoint I/O with training: the state is "
+        "snapshotted on-device (a cheap HBM copy, safe against the next "
+        "step's buffer donation) and a background thread does the "
+        "device->host fetch + orbax write + top-k prune while steps keep "
+        "running. At most one save is in flight; the next save (and trainer "
+        "exit) joins the previous one and re-raises its failure. Worth "
+        "enabling when state is large or the device link is slow; default "
+        "off for strictly serial failure semantics.",
+    )
     halt_on_non_finite: bool = Field(
         default=True,
         description="Raise TrainingDivergedError when a fetched training "

@@ -96,6 +96,74 @@ def save_checkpoint(
     return path
 
 
+class AsyncCheckpointWriter:
+    """Overlap checkpoint I/O with training (training.async_checkpoint).
+
+    `save()` snapshots every device array with an on-device copy — cheap
+    (HBM bandwidth) and safe against the next train step's buffer donation,
+    because the copies are dispatched on the main thread before the next
+    step is — then a background thread performs the device->host fetch and
+    the orbax/metadata write (and optional top-k prune) while training
+    continues. At most one save is in flight: a new `save()` first joins
+    the previous one. `wait()` joins and re-raises any background failure.
+    """
+
+    def __init__(self):
+        import threading
+
+        self._threading = threading
+        self._thread = None
+        self._exc: Optional[BaseException] = None
+
+    def _snapshot(self, state):
+        def copy_leaf(x):
+            if isinstance(x, jax.Array):
+                return jnp.copy(x)
+            return x
+
+        return jax.tree_util.tree_map(copy_leaf, state)
+
+    def save(
+        self,
+        ckpt_dir: Path,
+        state,
+        config,
+        stats,
+        lang2id,
+        speaker2id,
+        symbols,
+        metrics: Optional[dict] = None,
+        keep_top_k: Optional[int] = None,
+        monitor: Optional[str] = None,
+    ) -> None:
+        self.wait()
+        snap = self._snapshot(state)
+
+        def work():
+            try:
+                save_checkpoint(
+                    ckpt_dir, snap, config, stats, lang2id, speaker2id,
+                    symbols, metrics=metrics,
+                )
+                if keep_top_k is not None and monitor is not None:
+                    prune_checkpoints(ckpt_dir, keep_top_k, monitor)
+            except BaseException as exc:  # surfaced on the next wait()
+                self._exc = exc
+
+        self._thread = self._threading.Thread(
+            target=work, name="fs2t-async-ckpt", daemon=True
+        )
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise CheckpointError(f"async checkpoint save failed: {exc}") from exc
+
+
 def prune_checkpoints(ckpt_dir: Path, keep_top_k: int, monitor: str) -> None:
     """Keep the k best checkpoints by the monitored metric (lower is better),
     always keeping the latest (for resume)."""

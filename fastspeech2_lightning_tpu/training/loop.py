@@ -170,6 +170,28 @@ class Trainer:
         )
         self.ckpt_dir = self.log_dir / "checkpoints"
         self.writer = None
+        self._async_ckpt = None
+        if config.training.async_checkpoint:
+            from .checkpoint import AsyncCheckpointWriter
+
+            self._async_ckpt = AsyncCheckpointWriter()
+
+    def _save_ckpt(self, state, metrics: dict | None = None) -> None:
+        """Checkpoint + top-k prune; background when async_checkpoint."""
+        cfg = self.config
+        if self._async_ckpt is not None:
+            self._async_ckpt.save(
+                self.ckpt_dir, state, cfg, self.stats, self.lang2id,
+                self.speaker2id, self.text_processor.symbols,
+                metrics=metrics,
+                keep_top_k=cfg.training.save_top_k_ckpts, monitor=MONITOR,
+            )
+            return
+        save_checkpoint(
+            self.ckpt_dir, state, cfg, self.stats, self.lang2id,
+            self.speaker2id, self.text_processor.symbols, metrics=metrics,
+        )
+        prune_checkpoints(self.ckpt_dir, cfg.training.save_top_k_ckpts, MONITOR)
 
     def _log(self, tag: str, value: float, step: int):
         if self.writer is None:
@@ -326,25 +348,13 @@ class Trainer:
                         f"excl. compile)"
                     )
                 if ckpt_steps and step % ckpt_steps == 0:
-                    save_checkpoint(
-                        self.ckpt_dir, state, config, self.stats,
-                        self.lang2id, self.speaker2id,
-                        self.text_processor.symbols,
-                    )
-                    prune_checkpoints(
-                        self.ckpt_dir, config.training.save_top_k_ckpts, MONITOR
-                    )
+                    self._save_ckpt(state)
                 if step % val_interval == 0 or step >= max_steps:
                     val_losses = self.validate(state, val_loader, eval_step, epoch)
                     for k, v in val_losses.items():
                         self._log(f"validation/{k}_loss", v, step)
-                    save_checkpoint(
-                        self.ckpt_dir, state, config, self.stats,
-                        self.lang2id, self.speaker2id, self.text_processor.symbols,
-                        metrics={MONITOR: val_losses.get("total")},
-                    )
-                    prune_checkpoints(
-                        self.ckpt_dir, config.training.save_top_k_ckpts, MONITOR
+                    self._save_ckpt(
+                        state, metrics={MONITOR: val_losses.get("total")}
                     )
                     if es.metric.value != "none":
                         current = val_losses.get("total", float("inf"))
@@ -364,18 +374,11 @@ class Trainer:
                     break
             epoch += 1
             if ckpt_epochs and epoch % ckpt_epochs == 0:
-                save_checkpoint(
-                    self.ckpt_dir, state, config, self.stats,
-                    self.lang2id, self.speaker2id, self.text_processor.symbols,
-                )
-                prune_checkpoints(
-                    self.ckpt_dir, config.training.save_top_k_ckpts, MONITOR
-                )
-        # final checkpoint
-        save_checkpoint(
-            self.ckpt_dir, state, config, self.stats,
-            self.lang2id, self.speaker2id, self.text_processor.symbols,
-        )
+                self._save_ckpt(state)
+        # final checkpoint; a pending async save is joined inside
+        self._save_ckpt(state)
+        if self._async_ckpt is not None:
+            self._async_ckpt.wait()
         return state
 
     def validate(self, state, val_loader, eval_step, epoch) -> dict:
