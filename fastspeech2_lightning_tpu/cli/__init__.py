@@ -102,6 +102,36 @@ def train(config_file: Path, config_args, max_steps, resume, model_parallel, dis
     trainer.fit(max_steps=max_steps, resume=resume)
 
 
+@app.command(
+    "train-vocoder",
+    help="Train a HiFiGAN vocoder on the preprocessed corpus (spec-to-wav; "
+    "the reference stack needs a separate torch repo for this). Writes "
+    "vocoder.npz usable directly via --vocoder-path.",
+)
+@click.argument("config_file", type=click.Path(exists=True, path_type=Path))
+@_config_args_option
+@click.option("--max-steps", type=int, default=None)
+@click.option("--resume/--no-resume", default=True)
+@click.option("--batch-size", type=int, default=16)
+@click.option("--frames-per-crop", type=int, default=32,
+              help="Mel frames per training crop (x hop = samples).")
+@click.option("--learning-rate", type=float, default=2e-4)
+@click.option("--ckpt-steps", type=int, default=5000)
+def train_vocoder_cmd(config_file, config_args, max_steps, resume,
+                      batch_size, frames_per_crop, learning_rate, ckpt_steps):
+    from ..config import load_config_base_command
+    from ..training.vocoder import VocoderTrainingConfig, train_vocoder
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    config = load_config_base_command(config_file, list(config_args))
+    tc = VocoderTrainingConfig(
+        batch_size=batch_size, frames_per_crop=frames_per_crop,
+        learning_rate=learning_rate, ckpt_steps=ckpt_steps,
+    )
+    train_vocoder(config, train_config=tc, max_steps=max_steps, resume=resume)
+
+
 @app.command(help="Synthesize audio/specs/alignments from text or a filelist.")
 @click.argument("model_path", type=click.Path(exists=True, path_type=Path))
 @click.option("--texts", "-t", multiple=True, help="Text(s) to synthesize.")

@@ -1,0 +1,231 @@
+"""HiFiGAN discriminators (multi-period + multi-scale), functional JAX.
+
+Completes the vocoder story: the reference stack trains its vocoder in a
+separate torch repo (everyvoice hfgl) and this framework previously only
+*consumed* those checkpoints (models/hifigan.py). With these discriminators
+and training/vocoder.py, a user can train the spec-to-wav model here too —
+TPU-native, one jitted D+G step.
+
+Architecture follows the HiFiGAN paper (arXiv:2010.05646) discriminator
+recipe: 5 period sub-discriminators (periods 2,3,5,7,11; Conv2d stacks over
+the [T/p, p] fold) + 3 scale sub-discriminators (raw, 2x, 4x average-pooled;
+grouped Conv1d stacks). All convs use weight-norm parameterization
+(w = g * v / ||v||, norm per output channel — torch weight_norm dim=0
+semantics) — the stabilizer HiFiGAN relies on, expressed functionally
+instead of as a module hook. Where torch puts spectral_norm on the raw-scale
+MSD we use weight_norm too (the UnivNet/BigVGAN simplification).
+
+Everything is shape-static and batched: fixed audio crop length at training
+time means XLA compiles exactly one program per discriminator.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LRELU_SLOPE = 0.1
+
+
+@dataclasses.dataclass
+class DiscriminatorConfig:
+    periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    mpd_channels: Tuple[int, ...] = (32, 128, 512, 1024, 1024)
+    msd_channels: Tuple[int, ...] = (128, 128, 256, 512, 1024, 1024, 1024)
+    msd_groups: Tuple[int, ...] = (1, 4, 16, 16, 16, 16, 1)
+    msd_strides: Tuple[int, ...] = (1, 2, 2, 4, 4, 1, 1)
+    msd_kernels: Tuple[int, ...] = (15, 41, 41, 41, 41, 41, 5)
+    n_scales: int = 3
+
+
+# ---------------------------------------------------------------------------
+# weight-norm conv primitives
+# ---------------------------------------------------------------------------
+
+
+def _wn_weight(p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """w = g * v/||v||, norm over every axis but the last (out channels)."""
+    v = p["v"]
+    axes = tuple(range(v.ndim - 1))
+    norm = jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True) + 1e-12)
+    return p["g"] * v / norm
+
+
+def _init_wn_conv(key, shape, scale: float = 0.02) -> Dict[str, jnp.ndarray]:
+    """shape = (*kernel, Cin, Cout); g initialized to ||v|| so the initial
+    effective weight equals v (torch weight_norm init semantics)."""
+    v = scale * jax.random.normal(key, shape, dtype=jnp.float32)
+    axes = tuple(range(v.ndim - 1))
+    g = jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True) + 1e-12)
+    return {"v": v, "g": g, "b": jnp.zeros((shape[-1],), dtype=jnp.float32)}
+
+
+def _conv1d(x, p, stride: int = 1, groups: int = 1):
+    """x [B, T, C] -> [B, T', Cout], SAME-style odd-kernel padding."""
+    w = _wn_weight(p)  # [K, Cin/groups, Cout]
+    k = w.shape[0]
+    pad = (k - 1) // 2
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride,), padding=[(pad, pad)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+    )
+    return out + p["b"]
+
+
+def _conv2d(x, p, stride: Tuple[int, int] = (1, 1)):
+    """x [B, H, W, C] -> [B, H', W', Cout]; kernel pads on H only (the MPD
+    uses (k, 1) kernels over the [T/p, p] fold)."""
+    w = _wn_weight(p)  # [KH, KW, Cin, Cout]
+    kh, kw = w.shape[0], w.shape[1]
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=stride,
+        padding=[((kh - 1) // 2, (kh - 1) // 2), ((kw - 1) // 2, (kw - 1) // 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + p["b"]
+
+
+# ---------------------------------------------------------------------------
+# multi-period discriminator
+# ---------------------------------------------------------------------------
+
+
+def init_mpd(key, config: DiscriminatorConfig) -> List[Dict]:
+    subs = []
+    for i, _p in enumerate(config.periods):
+        k = jax.random.fold_in(key, i)
+        layers = []
+        cin = 1
+        for j, cout in enumerate(config.mpd_channels):
+            layers.append(
+                _init_wn_conv(jax.random.fold_in(k, j), (5, 1, cin, cout))
+            )
+            cin = cout
+        post = _init_wn_conv(jax.random.fold_in(k, 99), (3, 1, cin, 1))
+        subs.append({"layers": layers, "post": post})
+    return subs
+
+
+def _mpd_sub(params: Dict, wav: jnp.ndarray, period: int):
+    """wav [B, T] -> (score [B, N], features [list]). T padded to period."""
+    B, T = wav.shape
+    pad = (-T) % period
+    if pad:
+        wav = jnp.pad(wav, ((0, 0), (0, pad)), mode="reflect")
+    x = wav.reshape(B, -1, period, 1)  # [B, T/p, p, 1]
+    feats = []
+    n = len(params["layers"])
+    for j, conv in enumerate(params["layers"]):
+        stride = 3 if j < n - 1 else 1
+        x = _conv2d(x, conv, stride=(stride, 1))
+        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        feats.append(x)
+    x = _conv2d(x, params["post"])
+    feats.append(x)
+    return x.reshape(B, -1), feats
+
+
+def mpd_forward(params: List[Dict], wav: jnp.ndarray, config: DiscriminatorConfig):
+    """-> (scores per period, features per period)."""
+    scores, feats = [], []
+    for sub, period in zip(params, config.periods):
+        s, f = _mpd_sub(sub, wav, period)
+        scores.append(s)
+        feats.append(f)
+    return scores, feats
+
+
+# ---------------------------------------------------------------------------
+# multi-scale discriminator
+# ---------------------------------------------------------------------------
+
+
+def init_msd(key, config: DiscriminatorConfig) -> List[Dict]:
+    subs = []
+    for i in range(config.n_scales):
+        k = jax.random.fold_in(key, 1000 + i)
+        layers = []
+        cin = 1
+        for j, (cout, kern, grp) in enumerate(
+            zip(config.msd_channels, config.msd_kernels, config.msd_groups)
+        ):
+            groups = _msd_groups(config, j, cin)
+            layers.append(
+                _init_wn_conv(
+                    jax.random.fold_in(k, j), (kern, cin // groups, cout)
+                )
+            )
+            cin = cout
+        post = _init_wn_conv(jax.random.fold_in(k, 99), (3, cin, 1))
+        subs.append({"layers": layers, "post": post})
+    return subs
+
+
+def _avg_pool1d(x: jnp.ndarray, window: int = 4, stride: int = 2) -> jnp.ndarray:
+    """torch AvgPool1d(4, 2, padding=2) over [B, T]."""
+    x = jnp.pad(x, ((0, 0), (2, 2)))
+    out = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, window), (1, stride), "VALID"
+    )
+    return out / window
+
+
+def _msd_groups(config: DiscriminatorConfig, j: int, cin: int) -> int:
+    grp = config.msd_groups[j]
+    cout = config.msd_channels[j]
+    return grp if cin % grp == 0 and cout % grp == 0 else 1
+
+
+def _msd_sub(params: Dict, wav: jnp.ndarray, config: DiscriminatorConfig):
+    x = wav[..., None]  # [B, T, 1]
+    feats = []
+    cin = 1
+    for j, conv in enumerate(params["layers"]):
+        groups = _msd_groups(config, j, cin)
+        x = _conv1d(x, conv, stride=config.msd_strides[j], groups=groups)
+        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        feats.append(x)
+        cin = config.msd_channels[j]
+    x = _conv1d(x, params["post"])
+    feats.append(x)
+    return x.reshape(x.shape[0], -1), feats
+
+
+def msd_forward(params: List[Dict], wav: jnp.ndarray, config: DiscriminatorConfig):
+    scores, feats = [], []
+    x = wav
+    for i, sub in enumerate(params):
+        if i > 0:
+            x = _avg_pool1d(x)
+        s, f = _msd_sub(sub, x, config)
+        scores.append(s)
+        feats.append(f)
+    return scores, feats
+
+
+def init_discriminators(seed: int, config: DiscriminatorConfig) -> Dict:
+    key = jax.random.PRNGKey(seed)
+    return {
+        "mpd": init_mpd(jax.random.fold_in(key, 0), config),
+        "msd": init_msd(jax.random.fold_in(key, 1), config),
+    }
+
+
+def discriminator_forward(params: Dict, wav: jnp.ndarray, config: DiscriminatorConfig):
+    """All sub-discriminator (scores, features) for one waveform batch."""
+    s1, f1 = mpd_forward(params["mpd"], wav, config)
+    s2, f2 = msd_forward(params["msd"], wav, config)
+    return s1 + s2, f1 + f2
+
+
+def count_params(tree) -> int:
+    return sum(
+        int(np.prod(x.shape))
+        for x in jax.tree_util.tree_leaves(tree)
+        if hasattr(x, "shape")
+    )

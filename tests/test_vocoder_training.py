@@ -1,0 +1,197 @@
+"""HiFiGAN vocoder training (models/hifigan_discriminators.py,
+training/vocoder.py): beyond-reference — the torch stack trains its vocoder
+in a separate repo; here spec-to-wav trains in-framework on TPU."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastspeech2_lightning_tpu.models.hifigan import HiFiGANConfig
+from fastspeech2_lightning_tpu.models.hifigan_discriminators import (
+    DiscriminatorConfig,
+    _init_wn_conv,
+    _wn_weight,
+    count_params,
+    discriminator_forward,
+    init_discriminators,
+)
+from fastspeech2_lightning_tpu.training.vocoder import (
+    VocoderTrainingConfig,
+    create_vocoder_state,
+    make_vocoder_train_step,
+)
+
+TINY_DISC = DiscriminatorConfig(
+    periods=(2, 3),
+    mpd_channels=(4, 8),
+    msd_channels=(8, 8, 16),
+    msd_groups=(1, 4, 4),
+    msd_strides=(1, 2, 2),
+    msd_kernels=(15, 41, 41),
+    n_scales=2,
+)
+
+TINY_GEN = HiFiGANConfig(
+    upsample_rates=(8, 8, 2, 2),
+    upsample_kernel_sizes=(16, 16, 4, 4),
+    upsample_initial_channel=16,
+    resblock_kernel_sizes=(3,),
+    resblock_dilation_sizes=((1, 3),),
+    n_mels=20,
+)
+
+
+class _Audio:
+    input_sampling_rate = 22050
+    output_sampling_rate = 22050
+    n_fft = 1024
+    fft_window_size = 1024
+    fft_hop_size = 256
+    n_mels = 20
+    f_min = 0.0
+    f_max = 8000.0
+    spec_type = "mel-librosa"
+
+
+def test_weight_norm_parameterization():
+    """w = g * v/||v|| with per-output-channel norm; at init w == v
+    (torch weight_norm init semantics)."""
+    p = _init_wn_conv(jax.random.PRNGKey(0), (5, 3, 8))
+    w = _wn_weight(p)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(p["v"]), rtol=1e-5)
+    # scaling g by 2 scales w by 2 without touching the direction
+    p2 = dict(p, g=p["g"] * 2.0)
+    np.testing.assert_allclose(
+        np.asarray(_wn_weight(p2)), 2 * np.asarray(w), rtol=1e-5
+    )
+
+
+def test_discriminator_shapes_and_feature_maps():
+    params = init_discriminators(0, TINY_DISC)
+    wav = jnp.asarray(np.random.default_rng(0).normal(size=(2, 2048)), jnp.float32)
+    scores, feats = discriminator_forward(params, wav, TINY_DISC)
+    # 2 periods + 2 scales
+    assert len(scores) == 4 and len(feats) == 4
+    for s in scores:
+        assert s.shape[0] == 2 and s.ndim == 2
+    # each sub-discriminator exposes one feature map per conv + post
+    assert len(feats[0]) == len(TINY_DISC.mpd_channels) + 1
+    assert len(feats[2]) == len(TINY_DISC.msd_channels) + 1
+    assert count_params(params) > 0
+
+
+def test_vocoder_train_step_learns():
+    """A jitted D+G step runs, losses are finite, both sides update, and
+    the mel-L1 term drops when overfitting one fixed crop."""
+    tc = VocoderTrainingConfig(
+        batch_size=2, frames_per_crop=8, learning_rate=2e-4, seed=0
+    )
+    state, opt_g, opt_d = create_vocoder_state(TINY_GEN, TINY_DISC, tc)
+    step_fn = make_vocoder_train_step(
+        TINY_GEN, TINY_DISC, tc, _Audio(), opt_g, opt_d
+    )
+    rng = np.random.default_rng(0)
+    t = np.arange(8 * 256) / 22050.0
+    wav = np.stack(
+        [0.3 * np.sin(2 * np.pi * f * t) for f in (220.0, 330.0)]
+    ).astype(np.float32)
+    from fastspeech2_lightning_tpu.preprocessing.features import (
+        mel_spectrogram_numpy,
+    )
+
+    mel = np.stack(
+        [
+            mel_spectrogram_numpy(
+                w, 22050, 1024, 256, 1024, 20, 0.0, 8000.0
+            ).T[:8]
+            for w in wav
+        ]
+    ).astype(np.float32)
+    batch = {"mel": mel, "wav": wav}
+
+    g0 = jax.device_get(state["gen"])
+    first = None
+    for i in range(30):
+        state, losses = step_fn(state, dict(batch))
+        host = {k: float(v) for k, v in losses.items()}
+        assert all(np.isfinite(v) for v in host.values()), host
+        if first is None:
+            first = host
+    g1 = jax.device_get(state["gen"])
+    # both parameter sets moved
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - b).max()), g0, g1
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+    assert int(jax.device_get(state["step"])) == 30
+    assert host["mel_l1"] < first["mel_l1"], (first, host)
+
+
+def test_train_vocoder_end_to_end(tmp_path):
+    """CLI-level: preprocess a tiny corpus, train the vocoder a few steps,
+    then load vocoder.npz through the standard serving path and vocode."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from helpers import make_training_workspace
+
+    from fastspeech2_lightning_tpu.models.hifigan import (
+        load_vocoder_checkpoint,
+    )
+    from fastspeech2_lightning_tpu.training.vocoder import train_vocoder
+
+    cfg = make_training_workspace(tmp_path)
+    state = train_vocoder(
+        cfg,
+        train_config=VocoderTrainingConfig(
+            batch_size=2, frames_per_crop=8, ckpt_steps=100, seed=0
+        ),
+        gen_config=TINY_GEN,
+        disc_config=TINY_DISC,
+        max_steps=2,
+    )
+    assert int(jax.device_get(state["step"])) == 2
+    npz = Path(cfg.training.logger.save_dir) / "vocoder" / "checkpoints" / "vocoder.npz"
+    assert npz.exists()
+    voc, step, hop = load_vocoder_checkpoint(npz)
+    assert step == 2 and hop == 256
+    mel = np.zeros((1, 16, 20), np.float32)
+    wav, sr = voc(mel)
+    assert np.asarray(wav).shape == (1, 16 * 256) and sr == 22050
+
+    # resume restores the step counter and optimizer state structure
+    state2 = train_vocoder(
+        cfg,
+        train_config=VocoderTrainingConfig(
+            batch_size=2, frames_per_crop=8, ckpt_steps=100, seed=0
+        ),
+        gen_config=TINY_GEN,
+        disc_config=TINY_DISC,
+        max_steps=3,
+        resume=True,
+    )
+    assert int(jax.device_get(state2["step"])) == 3
+
+
+def test_generator_hop_mismatch_raises(tmp_path):
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from helpers import make_training_workspace
+
+    from fastspeech2_lightning_tpu.training.vocoder import train_vocoder
+
+    cfg = make_training_workspace(tmp_path)
+    bad = HiFiGANConfig(
+        upsample_rates=(8, 8, 2),
+        upsample_kernel_sizes=(16, 16, 4),
+        upsample_initial_channel=16,
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+        n_mels=20,
+    )
+    with pytest.raises(ValueError, match="upsampling"):
+        train_vocoder(cfg, gen_config=bad, max_steps=1)
