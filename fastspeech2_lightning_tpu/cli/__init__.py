@@ -117,8 +117,14 @@ def train(config_file: Path, config_args, max_steps, resume, model_parallel, dis
               help="Mel frames per training crop (x hop = samples).")
 @click.option("--learning-rate", type=float, default=2e-4)
 @click.option("--ckpt-steps", type=int, default=5000)
+@click.option(
+    "--data-parallel", type=int, default=None,
+    help="Shard crop batches over the first N chips (gradient all-reduce "
+    "inserted by XLA GSPMD).",
+)
 def train_vocoder_cmd(config_file, config_args, max_steps, resume,
-                      batch_size, frames_per_crop, learning_rate, ckpt_steps):
+                      batch_size, frames_per_crop, learning_rate, ckpt_steps,
+                      data_parallel):
     from ..config import load_config_base_command
     from ..training.vocoder import VocoderTrainingConfig, train_vocoder
     from ..utils.compile_cache import enable_persistent_cache
@@ -129,7 +135,10 @@ def train_vocoder_cmd(config_file, config_args, max_steps, resume,
         batch_size=batch_size, frames_per_crop=frames_per_crop,
         learning_rate=learning_rate, ckpt_steps=ckpt_steps,
     )
-    train_vocoder(config, train_config=tc, max_steps=max_steps, resume=resume)
+    train_vocoder(
+        config, train_config=tc, max_steps=max_steps, resume=resume,
+        data_parallel=data_parallel,
+    )
 
 
 @app.command(help="Synthesize audio/specs/alignments from text or a filelist.")

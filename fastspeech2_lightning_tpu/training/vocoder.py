@@ -320,8 +320,14 @@ def train_vocoder(
     log_dir: Optional[Path] = None,
     max_steps: Optional[int] = None,
     resume: bool = True,
+    data_parallel: Optional[int] = None,
 ) -> Dict:
-    """Train loop: crops -> jitted D+G step -> periodic checkpoints."""
+    """Train loop: crops -> jitted D+G step -> periodic checkpoints.
+
+    data_parallel: shard crop batches over the first N chips' data axis
+    (params replicated; XLA GSPMD inserts the gradient all-reduces — same
+    recipe as the acoustic trainer). batch_size is rounded up to a multiple
+    of N."""
     train_config = train_config or VocoderTrainingConfig()
     a = config.preprocessing.audio
     if gen_config is None:
@@ -343,9 +349,24 @@ def train_vocoder(
     ckpt_dir = log_dir / "checkpoints"
     ckpt_dir.mkdir(parents=True, exist_ok=True)
 
+    mesh = None
+    if data_parallel is not None and data_parallel > 1:
+        from ..dataset import _round_up
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_devices=data_parallel, model_parallel=1)
+        train_config = dataclasses.replace(
+            train_config,
+            batch_size=_round_up(train_config.batch_size, data_parallel),
+        )
+
     state, opt_g, opt_d = create_vocoder_state(
         gen_config, disc_config, train_config
     )
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        state = jax.device_put(state, NamedSharding(mesh, P()))
     if resume:
         existing = sorted(
             ckpt_dir.glob("step=*"), key=lambda p: int(p.name.split("=")[1])
@@ -360,20 +381,58 @@ def train_vocoder(
     max_steps = max_steps or train_config.max_steps
     step = int(jax.device_get(state["step"]))
     t0 = time.time()
-    while step < max_steps:
-        state, losses = step_fn(state, loader.next_batch())
-        step = int(jax.device_get(state["step"]))
-        if step % 50 == 0 or step == 1:
-            host = {k: float(v) for k, v in losses.items()}
-            sps = step / max(time.time() - t0, 1e-9)
-            print(
-                f"vocoder step {step} d={host['d']:.4f} g={host['g']:.4f} "
-                f"mel_l1={host['mel_l1']:.4f} ({sps:.2f} steps/s)"
-            )
-            if not all(np.isfinite(v) for v in host.values()):
-                raise RuntimeError(f"non-finite vocoder loss at step {step}: {host}")
-        if step % train_config.ckpt_steps == 0 or step >= max_steps:
-            save_vocoder_checkpoint(ckpt_dir, state, gen_config)
+
+    tb = None
+    try:
+        from tensorboardX import SummaryWriter
+
+        tb = SummaryWriter(logdir=str(log_dir))
+    except Exception:
+        pass
+
+    import queue as _queue
+    import threading
+
+    # background crop assembly: numpy slicing + wav reads off the step path
+    q: "_queue.Queue" = _queue.Queue(maxsize=2)
+    stop = threading.Event()
+
+    def produce():
+        while not stop.is_set():
+            try:
+                q.put(loader.next_batch(), timeout=0.5)
+            except _queue.Full:
+                continue
+
+    producer = threading.Thread(target=produce, daemon=True)
+    producer.start()
+    try:
+        while step < max_steps:
+            batch = q.get()
+            if mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                batch = shard_batch(batch, mesh)
+            state, losses = step_fn(state, batch)
+            step = int(jax.device_get(state["step"]))
+            if step % 50 == 0 or step == 1:
+                host = {k: float(v) for k, v in losses.items()}
+                sps = step / max(time.time() - t0, 1e-9)
+                print(
+                    f"vocoder step {step} d={host['d']:.4f} g={host['g']:.4f} "
+                    f"mel_l1={host['mel_l1']:.4f} ({sps:.2f} steps/s)"
+                )
+                if tb is not None:
+                    for k, v in host.items():
+                        tb.add_scalar(f"vocoder/{k}", v, step)
+                if not all(np.isfinite(v) for v in host.values()):
+                    raise RuntimeError(
+                        f"non-finite vocoder loss at step {step}: {host}"
+                    )
+            if step % train_config.ckpt_steps == 0 or step >= max_steps:
+                save_vocoder_checkpoint(ckpt_dir, state, gen_config)
+    finally:
+        stop.set()
     save_vocoder_checkpoint(ckpt_dir, state, gen_config)
     print(f"vocoder checkpoint: {ckpt_dir / 'vocoder.npz'}")
     return state

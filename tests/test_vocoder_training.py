@@ -195,3 +195,50 @@ def test_generator_hop_mismatch_raises(tmp_path):
     )
     with pytest.raises(ValueError, match="upsampling"):
         train_vocoder(cfg, gen_config=bad, max_steps=1)
+
+
+def test_vocoder_step_data_parallel_matches_single():
+    """The D+G step on a 2-wide data mesh matches single-device losses for
+    the same total batch (GSPMD gradient all-reduce; step is noise-free so
+    the comparison is direct)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fastspeech2_lightning_tpu.parallel.mesh import make_mesh, shard_batch
+
+    tc = VocoderTrainingConfig(batch_size=2, frames_per_crop=8, seed=0)
+    rng = np.random.default_rng(1)
+    t = np.arange(8 * 256) / 22050.0
+    wav = np.stack(
+        [0.3 * np.sin(2 * np.pi * f * t) for f in (220.0, 330.0)]
+    ).astype(np.float32)
+    from fastspeech2_lightning_tpu.preprocessing.features import (
+        mel_spectrogram_numpy,
+    )
+
+    mel = np.stack(
+        [
+            mel_spectrogram_numpy(w, 22050, 1024, 256, 1024, 20, 0.0, 8000.0).T[:8]
+            for w in wav
+        ]
+    ).astype(np.float32)
+    batch = {"mel": mel, "wav": wav}
+
+    def run(mesh):
+        state, opt_g, opt_d = create_vocoder_state(TINY_GEN, TINY_DISC, tc)
+        if mesh is not None:
+            state = jax.device_put(state, NamedSharding(mesh, P()))
+        step_fn = make_vocoder_train_step(
+            TINY_GEN, TINY_DISC, tc, _Audio(), opt_g, opt_d
+        )
+        out = dict(batch)
+        if mesh is not None:
+            out = shard_batch(out, mesh)
+        losses = None
+        for _ in range(2):
+            state, losses = step_fn(state, dict(out))
+        return {k: float(v) for k, v in losses.items()}
+
+    single = run(None)
+    dp = run(make_mesh(n_devices=2, model_parallel=1))
+    for k in single:
+        np.testing.assert_allclose(dp[k], single[k], rtol=2e-4, atol=2e-5)
