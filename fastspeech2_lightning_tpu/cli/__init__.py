@@ -122,9 +122,22 @@ def train(config_file: Path, config_args, max_steps, resume, model_parallel, dis
     help="Shard crop batches over the first N chips (gradient all-reduce "
     "inserted by XLA GSPMD).",
 )
+@click.option(
+    "--finetune-from", type=click.Path(exists=True, path_type=Path),
+    default=None,
+    help="Initialize the generator from an existing vocoder checkpoint "
+    "(.ckpt torch or .npz); discriminators start fresh.",
+)
+@click.option(
+    "--finetune-mels", type=click.Path(exists=True, path_type=Path),
+    default=None,
+    help="Train on acoustic-model-predicted mels: a directory produced by "
+    "`synthesize -O spec --teacher-forcing-directory <preprocessed>` "
+    "(adapts the vocoder to inference-time mels).",
+)
 def train_vocoder_cmd(config_file, config_args, max_steps, resume,
                       batch_size, frames_per_crop, learning_rate, ckpt_steps,
-                      data_parallel):
+                      data_parallel, finetune_from, finetune_mels):
     from ..config import load_config_base_command
     from ..training.vocoder import VocoderTrainingConfig, train_vocoder
     from ..utils.compile_cache import enable_persistent_cache
@@ -137,7 +150,8 @@ def train_vocoder_cmd(config_file, config_args, max_steps, resume,
     )
     train_vocoder(
         config, train_config=tc, max_steps=max_steps, resume=resume,
-        data_parallel=data_parallel,
+        data_parallel=data_parallel, finetune_from=finetune_from,
+        finetune_mel_dir=finetune_mels,
     )
 
 

@@ -319,6 +319,20 @@ def load_vocoder_checkpoint(path, precision: str = "float32"):
     parameter pytree. precision="bfloat16" runs the generator's convs in
     bf16 (~1.3x faster on TPU v5e; measured ~39 dB SNR vs the f32
     waveform — below HiFiGAN's own artifact floor)."""
+    params, config, global_step = load_vocoder_params(path)
+    output_hop = config.total_upsampling
+    return (
+        make_vocoder_fn(params, config, precision=precision),
+        global_step,
+        output_hop,
+    )
+
+
+def load_vocoder_params(path):
+    """Parse a vocoder checkpoint (.ckpt/.pt torch or .npz ours) into
+    (generator params pytree, HiFiGANConfig, global_step) — the raw form
+    used both by serving (make_vocoder_fn) and by train-vocoder
+    --finetune-from initialization."""
     from pathlib import Path as _P
 
     path = _P(path)
@@ -370,13 +384,7 @@ def load_vocoder_checkpoint(path, precision: str = "float32"):
         global_step = int(loaded.get("global_step", 0))
     else:
         raise ValueError(f"Unsupported vocoder checkpoint format: {path}")
-    # output hop in model-frame units: upsampling factor relative to our hop
-    output_hop = config.total_upsampling
-    return (
-        make_vocoder_fn(params, config, precision=precision),
-        global_step,
-        output_hop,
-    )
+    return params, config, global_step
 
 
 def make_vocoder_fn(

@@ -189,7 +189,19 @@ class VocoderCropLoader:
     exactly the mel domain the acoustic model emits. Utterances shorter
     than the crop are padded (wav with zeros, mel with LOG_CLIP floor)."""
 
-    def __init__(self, config: FastSpeech2Config, train_config, rng=None):
+    def __init__(
+        self,
+        config: FastSpeech2Config,
+        train_config,
+        rng=None,
+        finetune_mel_dir: Optional[Path] = None,
+    ):
+        """finetune_mel_dir: read mels from `synthesize -O spec
+        --teacher-forcing-directory …` outputs (spec-pred-*.npy under
+        <dir>/synthesized_spec) instead of the ground-truth spec artifacts —
+        the classic "fine-tune the vocoder on the acoustic model's own
+        mels" quality step. Teacher forcing pins the predicted mel to the
+        target length, so frames stay aligned with the real audio."""
         from ..preprocessing.pipeline import Preprocessor
         from ..utils import load_filelist
 
@@ -201,6 +213,7 @@ class VocoderCropLoader:
         pre = Preprocessor(config)
         rows = load_filelist(Path(config.training.training_filelist))
         self.items = []
+        skipped = 0
         for r in rows:
             b = r["basename"]
             s = r.get("speaker") or "default"
@@ -208,14 +221,36 @@ class VocoderCropLoader:
             wav_p = pre.artifact_path(
                 "audio", b, s, lang, f"audio-{self.a.input_sampling_rate}.wav",
             )
-            spec_p = pre.artifact_path("spec", b, s, lang, pre.spec_filename())
+            if finetune_mel_dir is not None:
+                from ..utils import truncate_basename
+
+                spec_p = (
+                    Path(finetune_mel_dir) / "synthesized_spec" /
+                    "--".join([
+                        truncate_basename(b), s, lang,
+                        f"spec-pred-{self.a.input_sampling_rate}-"
+                        f"{self.a.spec_type}.npy",
+                    ])
+                )
+            else:
+                spec_p = pre.artifact_path(
+                    "spec", b, s, lang, pre.spec_filename()
+                )
             if wav_p.exists() and spec_p.exists():
                 self.items.append((wav_p, spec_p))
+            else:
+                skipped += 1
         if not self.items:
             raise FileNotFoundError(
                 "no (audio, spec) artifact pairs found — run `preprocess` "
                 "with the audio and spec steps first"
+                + (
+                    " (and synthesize teacher-forced specs into "
+                    f"{finetune_mel_dir})" if finetune_mel_dir else ""
+                )
             )
+        if skipped:
+            print(f"vocoder loader: skipped {skipped} rows missing artifacts")
 
     def next_batch(self) -> Dict[str, np.ndarray]:
         from ..preprocessing.features import LOG_CLIP
@@ -321,15 +356,36 @@ def train_vocoder(
     max_steps: Optional[int] = None,
     resume: bool = True,
     data_parallel: Optional[int] = None,
+    finetune_from: Optional[Path] = None,
+    finetune_mel_dir: Optional[Path] = None,
 ) -> Dict:
     """Train loop: crops -> jitted D+G step -> periodic checkpoints.
 
     data_parallel: shard crop batches over the first N chips' data axis
     (params replicated; XLA GSPMD inserts the gradient all-reduces — same
     recipe as the acoustic trainer). batch_size is rounded up to a multiple
-    of N."""
+    of N.
+    finetune_from: initialize the generator from an existing vocoder
+    checkpoint (.ckpt torch or .npz ours); discriminators start fresh, the
+    standard fine-tuning setup.
+    finetune_mel_dir: train on acoustic-model-predicted mels (`synthesize
+    -O spec -T <preprocessed>` outputs) instead of ground-truth specs —
+    adapts the vocoder to the mels it will actually see at inference."""
     train_config = train_config or VocoderTrainingConfig()
     a = config.preprocessing.audio
+    if finetune_from is not None:
+        from ..models.hifigan import load_vocoder_params
+
+        ft_params, ft_config, ft_step = load_vocoder_params(Path(finetune_from))
+        if gen_config is not None and dataclasses.asdict(gen_config) != (
+            dataclasses.asdict(ft_config)
+        ):
+            raise ValueError(
+                "--finetune-from checkpoint architecture differs from the "
+                "requested generator config"
+            )
+        gen_config = ft_config
+        print(f"fine-tuning generator from {finetune_from} (step {ft_step})")
     if gen_config is None:
         gen_config = HiFiGANConfig(
             n_mels=a.n_mels,
@@ -363,6 +419,11 @@ def train_vocoder(
     state, opt_g, opt_d = create_vocoder_state(
         gen_config, disc_config, train_config
     )
+    if finetune_from is not None:
+        state["gen"] = jax.tree_util.tree_map(
+            lambda a_, b_: jnp.asarray(b_, dtype=a_.dtype),
+            state["gen"], ft_params,
+        )
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -377,7 +438,9 @@ def train_vocoder(
     step_fn = make_vocoder_train_step(
         gen_config, disc_config, train_config, a, opt_g, opt_d
     )
-    loader = VocoderCropLoader(config, train_config)
+    loader = VocoderCropLoader(
+        config, train_config, finetune_mel_dir=finetune_mel_dir
+    )
     max_steps = max_steps or train_config.max_steps
     step = int(jax.device_get(state["step"]))
     t0 = time.time()

@@ -242,3 +242,71 @@ def test_vocoder_step_data_parallel_matches_single():
     dp = run(make_mesh(n_devices=2, model_parallel=1))
     for k in single:
         np.testing.assert_allclose(dp[k], single[k], rtol=2e-4, atol=2e-5)
+
+
+def test_vocoder_finetune_from_and_predicted_mels(tmp_path):
+    """--finetune-from seeds the generator with checkpoint weights;
+    --finetune-mels reads teacher-forced synthesized specs instead of
+    ground-truth artifacts."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from helpers import make_training_workspace
+
+    from fastspeech2_lightning_tpu.testing import get_stubbed_vocoder
+    from fastspeech2_lightning_tpu.training.vocoder import (
+        VocoderCropLoader,
+        train_vocoder,
+    )
+    from fastspeech2_lightning_tpu.utils import load_filelist, truncate_basename
+
+    cfg = make_training_workspace(tmp_path)
+    _voc, voc_path = get_stubbed_vocoder(tmp_path)  # n_mels=20 matches cfg
+
+    # --finetune-from: the generator starts from the checkpoint's params
+    from fastspeech2_lightning_tpu.models.hifigan import load_vocoder_params
+
+    ft_params, ft_cfg, _ = load_vocoder_params(voc_path)
+    state = train_vocoder(
+        cfg,
+        train_config=VocoderTrainingConfig(
+            batch_size=2, frames_per_crop=8, ckpt_steps=100, seed=0,
+            learning_rate=0.0,  # freeze: end state == checkpoint
+        ),
+        disc_config=TINY_DISC,
+        max_steps=1,
+        resume=False,
+        finetune_from=voc_path,
+        log_dir=tmp_path / "voclogs",
+    )
+    got = jax.device_get(state["gen"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-7
+        ),
+        got, jax.device_get(jax.tree_util.tree_map(jnp.asarray, ft_params)),
+    )
+
+    # --finetune-mels: loader picks synthesized_spec files
+    a = cfg.preprocessing.audio
+    mel_dir = tmp_path / "synth_out" / "synthesized_spec"
+    mel_dir.mkdir(parents=True)
+    rows = load_filelist(Path(cfg.training.training_filelist))
+    for r in rows:
+        name = "--".join([
+            truncate_basename(r["basename"]),
+            r.get("speaker") or "default",
+            r.get("language") or "default",
+            f"spec-pred-{a.input_sampling_rate}-{a.spec_type}.npy",
+        ])
+        np.save(mel_dir / name, np.zeros((a.n_mels, 40), np.float32))
+    tc = VocoderTrainingConfig(batch_size=2, frames_per_crop=8, seed=0)
+    loader = VocoderCropLoader(
+        cfg, tc, finetune_mel_dir=tmp_path / "synth_out"
+    )
+    assert len(loader.items) == len(rows)
+    assert all("synthesized_spec" in str(p[1]) for p in loader.items)
+    batch = loader.next_batch()
+    assert batch["mel"].shape == (2, 8, a.n_mels)
+    # the all-zero predicted mels flow through (not the ground-truth specs)
+    assert np.all(batch["mel"] == 0.0)
