@@ -155,6 +155,38 @@ def train_vocoder_cmd(config_file, config_args, max_steps, resume,
     )
 
 
+@app.command(
+    "evaluate-vocoder",
+    help="Copy-synthesis quality of a vocoder on the validation set: "
+    "vocode ground-truth mels and score against the real audio "
+    "(mel-L1, SI-SDR, STOI, PESQ-family proxy).",
+)
+@click.argument("config_file", type=click.Path(exists=True, path_type=Path))
+@click.option("--vocoder-path", "-v", required=True,
+              type=click.Path(exists=True, path_type=Path))
+@click.option("--n-utterances", "-n", type=int, default=16)
+@click.option(
+    "--vocoder-precision",
+    type=click.Choice(["float32", "bfloat16"]), default="float32",
+)
+@_config_args_option
+def evaluate_vocoder_cmd(config_file, vocoder_path, n_utterances,
+                         vocoder_precision, config_args):
+    import json as _json
+
+    from ..config import load_config_base_command
+    from ..evaluation import evaluate_vocoder
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    config = load_config_base_command(config_file, list(config_args))
+    report = evaluate_vocoder(
+        config, Path(vocoder_path), n_utterances=n_utterances,
+        precision=vocoder_precision,
+    )
+    click.echo(_json.dumps(report, indent=2))
+
+
 @app.command(help="Synthesize audio/specs/alignments from text or a filelist.")
 @click.argument("model_path", type=click.Path(exists=True, path_type=Path))
 @click.option("--texts", "-t", multiple=True, help="Text(s) to synthesize.")

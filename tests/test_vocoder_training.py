@@ -310,3 +310,23 @@ def test_vocoder_finetune_from_and_predicted_mels(tmp_path):
     assert batch["mel"].shape == (2, 8, a.n_mels)
     # the all-zero predicted mels flow through (not the ground-truth specs)
     assert np.all(batch["mel"] == 0.0)
+
+
+def test_evaluate_vocoder(tmp_path):
+    """evaluate-vocoder scores copy-synthesis on validation artifacts."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from helpers import make_training_workspace
+
+    from fastspeech2_lightning_tpu.evaluation import evaluate_vocoder
+    from fastspeech2_lightning_tpu.testing import get_stubbed_vocoder
+
+    cfg = make_training_workspace(tmp_path)
+    _voc, voc_path = get_stubbed_vocoder(tmp_path)
+    report = evaluate_vocoder(cfg, voc_path, n_utterances=1)
+    assert report["n"] == 1
+    for key in ("mel_l1", "si_sdr_db", "stoi", "pesq_proxy"):
+        assert np.isfinite(report[key]), report
+    # a random-weight vocoder reconstructs nothing: SI-SDR deeply negative
+    assert report["si_sdr_db"] < 0
