@@ -69,20 +69,21 @@ REPS = 30
 BASELINE_CACHE = Path(__file__).parent / ".bench_baseline.json"
 
 
-def _synthesis_batch(rng):
-    """Duration-driven synthesis batch: every token expands to T/L = 8 frames
-    (the LJSpeech-ish average), so each call produces exactly B*T mel frames —
-    a weight-independent full-occupancy throughput measurement."""
-    text = rng.integers(1, 60, size=(B, L)).astype(np.int32)
+def _synthesis_batch(rng, b=None, l=None, t=None):
+    """Duration-driven synthesis batch: every token expands to t/l frames
+    (T/L = 8 is the LJSpeech-ish average), so each call produces exactly b*t
+    mel frames — a weight-independent full-occupancy throughput measurement."""
+    b, l, t = b or B, l or L, t or T
+    text = rng.integers(1, 60, size=(b, l)).astype(np.int32)
     return {
         "text": text,
-        "src_lens": np.full(B, L, dtype=np.int32),
-        "mel_lens": np.full(B, T, dtype=np.int32),
-        "duration": np.full((B, L), T // L, dtype=np.int32),
-        "pitch": np.zeros((B, L), dtype=np.float32),
-        "energy": np.zeros((B, L), dtype=np.float32),
-        "speaker_id": np.zeros(B, dtype=np.int32),
-        "language_id": np.zeros(B, dtype=np.int32),
+        "src_lens": np.full(b, l, dtype=np.int32),
+        "mel_lens": np.full(b, t, dtype=np.int32),
+        "duration": np.full((b, l), t // l, dtype=np.int32),
+        "pitch": np.zeros((b, l), dtype=np.float32),
+        "energy": np.zeros((b, l), dtype=np.float32),
+        "speaker_id": np.zeros(b, dtype=np.int32),
+        "language_id": np.zeros(b, dtype=np.int32),
     }
 
 
@@ -388,11 +389,265 @@ def measure_training() -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# End-to-end text -> wav (acoustic model + HiFiGAN V1 vocoder)
+# ---------------------------------------------------------------------------
+
+E2E_B = int(os.environ.get("FS2T_E2E_B", "8"))
+E2E_T = int(os.environ.get("FS2T_E2E_T", "1024"))
+E2E_REPS = int(os.environ.get("FS2T_E2E_REPS", "20"))
+
+
+def _torch_hifigan_v1(n_mels=N_MELS):
+    """Eager torch HiFiGAN V1 generator (canonical topology: conv_pre k=7,
+    4 ConvTranspose1d upsample stages 8/8/2/2, 3 resblocks per stage with
+    kernels 3/7/11 x dilations 1/3/5, conv_post k=7) — the CPU anchor for
+    the e2e baseline, mirroring the reference's wav handoff
+    (fs2/prediction_writing_callback.py:656-681 -> everyvoice hfgl)."""
+    import torch
+    import torch.nn as nn
+
+    ups, upk = (8, 8, 2, 2), (16, 16, 4, 4)
+    rks, rds = (3, 7, 11), ((1, 3, 5),) * 3
+
+    class ResBlock1(nn.Module):
+        def __init__(self, ch, k, dils):
+            super().__init__()
+            self.convs1 = nn.ModuleList(
+                nn.Conv1d(ch, ch, k, dilation=d, padding=(k - 1) * d // 2)
+                for d in dils
+            )
+            self.convs2 = nn.ModuleList(
+                nn.Conv1d(ch, ch, k, padding=(k - 1) // 2) for _ in dils
+            )
+
+        def forward(self, x):
+            import torch.nn.functional as F
+
+            for c1, c2 in zip(self.convs1, self.convs2):
+                xt = c2(F.leaky_relu(c1(F.leaky_relu(x, 0.1)), 0.1))
+                x = x + xt
+            return x
+
+    class Generator(nn.Module):
+        def __init__(self):
+            super().__init__()
+            ch = 512
+            self.conv_pre = nn.Conv1d(n_mels, ch, 7, padding=3)
+            self.ups = nn.ModuleList()
+            self.res = nn.ModuleList()
+            for u, k in zip(ups, upk):
+                self.ups.append(
+                    nn.ConvTranspose1d(ch, ch // 2, k, u, padding=(k - u) // 2)
+                )
+                ch //= 2
+                self.res.append(
+                    nn.ModuleList(
+                        ResBlock1(ch, k_, d_) for k_, d_ in zip(rks, rds)
+                    )
+                )
+            self.conv_post = nn.Conv1d(ch, 1, 7, padding=3)
+
+        def forward(self, mel):
+            import torch
+            import torch.nn.functional as F
+
+            x = self.conv_pre(mel)
+            for up, blocks in zip(self.ups, self.res):
+                x = up(F.leaky_relu(x, 0.1))
+                x = torch.stack([b(x) for b in blocks]).mean(0)
+            return torch.tanh(self.conv_post(F.leaky_relu(x, 0.1)))[:, 0]
+
+    return Generator().eval()
+
+
+def measure_cpu_e2e_baseline() -> float:
+    """CPU eager torch samples/s for the full text -> mel -> wav chain
+    (architecture-equivalent acoustic model + HiFiGAN V1). Small shapes keep
+    the run sane; samples/s is batch/length-normalized."""
+    import torch
+
+    torch.manual_seed(0)
+    model = _torch_baseline_model()
+    voc = _torch_hifigan_v1()
+    b, t = 2, 256
+    rng = np.random.default_rng(0)
+    text = torch.tensor(rng.integers(1, 60, size=(b, L)), dtype=torch.long)
+    durations = torch.full((b, L), t // L, dtype=torch.long)
+    with torch.no_grad():
+        mel, _ = model(text, durations)
+        mel = mel[:, :t]
+        wav = voc(mel.transpose(1, 2))
+        samples = wav.numel()
+        model(text, durations)  # warmup consistency with acoustic baseline
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            m, _ = model(text, durations)
+            voc(m[:, :t].transpose(1, 2))
+        dt = time.perf_counter() - t0
+    return samples * reps / dt
+
+
+def get_cpu_e2e_baseline() -> float:
+    force = os.environ.get("FS2T_BENCH_FORCE_CPU_BASELINE") == "1"
+    if BASELINE_CACHE.exists() and not force:
+        try:
+            cached = json.loads(BASELINE_CACHE.read_text())
+            if "cpu_e2e_samples_per_sec" in cached:
+                return float(cached["cpu_e2e_samples_per_sec"])
+        except Exception:
+            pass
+    fps = measure_cpu_e2e_baseline()
+    try:
+        cached = json.loads(BASELINE_CACHE.read_text())
+    except Exception:
+        cached = {}
+    cached["cpu_e2e_samples_per_sec"] = fps
+    BASELINE_CACHE.write_text(json.dumps(cached))
+    return fps
+
+
+def measure_e2e() -> dict:
+    """Honest end-to-end deployment numbers: text batch -> mel (flagship
+    acoustic model, duration-driven full occupancy) -> wav (HiFiGAN V1) in
+    one jitted program. Reports chained per-call latency, pipelined
+    throughput as a realtime factor (audio seconds generated per wall
+    second), and TTFA — the streaming path's time to first audio: one
+    acoustic forward + one vocoder window + the device->host fetch of the
+    first audio bytes, per call."""
+    import jax
+    import jax.numpy as jnp
+
+    _enable_compile_cache()
+
+    from __graft_entry__ import _flagship_config, _make_model
+    from fastspeech2_lightning_tpu.models.hifigan import (
+        HiFiGANConfig,
+        hifigan_generator,
+        init_random_hifigan,
+    )
+    from fastspeech2_lightning_tpu.utils.benchmarking import (
+        chainable,
+        check_mfu,
+        compiled_flops,
+        time_chained,
+        time_pipelined,
+    )
+
+    config = _flagship_config()
+    config.model.learn_alignment = False
+    model = _make_model(config)
+    vcfg = HiFiGANConfig(n_mels=N_MELS)
+    vparams = jax.device_put(init_random_hifigan(vcfg))
+    hop = vcfg.total_upsampling
+    mel_key = "postnet_output" if config.model.use_postnet else "output"
+
+    batch0 = _synthesis_batch(np.random.default_rng(0), b=E2E_B, t=E2E_T)
+    variables = jax.device_put(
+        model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            batch0,
+            deterministic=True,
+            max_target_len=E2E_T,
+        )
+    )
+
+    def e2e_apply(packed, batch):
+        avars, vp = packed
+        mel = model.apply(
+            avars, batch, deterministic=True, max_target_len=E2E_T
+        )[mel_key]
+        return hifigan_generator(vp, mel, vcfg)
+
+    packed = (variables, vparams)
+    staged = [
+        {
+            k: jax.device_put(v)
+            for k, v in _synthesis_batch(
+                np.random.default_rng(i), b=E2E_B, t=E2E_T
+            ).items()
+        }
+        for i in range(4)
+    ]
+    jf = jax.jit(chainable(e2e_apply, "pitch"))
+    flops = compiled_flops(jf, packed, staged[0], jnp.float32(0.0))
+    trials = time_chained(jf, packed, staged, reps=E2E_REPS, trials=5, warmup=3)
+    ms_per_call = min(trials) / E2E_REPS * 1000
+    mfu = check_mfu(flops, min(trials) / E2E_REPS)
+
+    jf_scalar = jax.jit(
+        lambda v, b: jnp.sum(jnp.ravel(e2e_apply(v, b))[:4]) * 1e-12
+    )
+    pipe = time_pipelined(
+        jf_scalar, packed, staged, reps=E2E_REPS, trials=5, warmup=3
+    )
+    pipe_sec_per_call = min(pipe) / E2E_REPS
+    audio_sec_per_call = E2E_B * E2E_T * hop / vcfg.sampling_rate
+    samples_per_sec = E2E_B * E2E_T * hop / pipe_sec_per_call
+    pipe_mfu = check_mfu(flops, pipe_sec_per_call)
+
+    # TTFA: a single B=1 request on the streaming path (synthesis/streaming):
+    # acoustic forward at a small frame bucket, vocode the first
+    # (window + 2*margin) frames, fetch the audio. Each rep pays the real
+    # device->host fetch of the first audio bytes — that IS first audio.
+    window = 128
+    margin = vcfg.receptive_margin_frames
+    t1 = 512
+    ttfa_batch = {
+        k: jax.device_put(v)
+        for k, v in _synthesis_batch(
+            np.random.default_rng(9), b=1, t=t1
+        ).items()
+    }
+
+    @jax.jit
+    def first_window(packed, batch):
+        avars, vp = packed
+        mel = model.apply(
+            avars, batch, deterministic=True, max_target_len=t1
+        )[mel_key]
+        return hifigan_generator(vp, mel[:, : window + 2 * margin], vcfg)
+
+    wav = np.asarray(first_window(packed, ttfa_batch))  # compile + warmup
+    assert np.isfinite(wav).all()
+    ttfa_trials = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        reps = 10
+        for _ in range(reps):
+            np.asarray(first_window(packed, ttfa_batch))
+        ttfa_trials.append((time.perf_counter() - t0) / reps)
+    ttfa_ms = min(ttfa_trials) * 1000
+
+    try:
+        cpu = get_cpu_e2e_baseline()
+    except Exception:
+        cpu = float("nan")
+    ratio = samples_per_sec / cpu if cpu == cpu and cpu > 0 else None
+    return {
+        "metric": "e2e_text_to_wav",
+        "e2e_ms_per_call": round(ms_per_call, 3),
+        "e2e_samples_per_sec": round(samples_per_sec, 1),
+        "e2e_rtf": round(audio_sec_per_call / pipe_sec_per_call, 1),
+        "e2e_tflops_per_call": round(flops / 1e12, 3),
+        "e2e_mfu_pct": round(max(mfu, pipe_mfu) * 100, 2),
+        "ttfa_ms": round(ttfa_ms, 3),
+        "ttfa_first_audio_sec": round((window + 2 * margin) * hop
+                                      / vcfg.sampling_rate, 3),
+        "vs_baseline": round(ratio, 2) if ratio else None,
+        "e2e_shapes": {"B": E2E_B, "L": L, "T": E2E_T, "hop": hop},
+    }
+
+
 def main():
     import sys
 
     if "--mode" in sys.argv and "training" in sys.argv:
         print(json.dumps(dict({"metric": "train_step"}, **measure_training())))
+        return
+    if "--mode" in sys.argv and "e2e" in sys.argv:
+        print(json.dumps(measure_e2e()))
         return
     tpu_fps, ms_per_call, flops, mfu = measure_tpu()
     try:
