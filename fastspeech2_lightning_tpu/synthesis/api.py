@@ -91,16 +91,30 @@ class Synthesizer:
         (
             model, variables, config, stats, lang2id, speaker2id, _step,
         ) = load_model_from_checkpoint(Path(ckpt_path), use_ema=use_ema)
-        vocoder = None
-        if vocoder_path is not None:
-            vocoder, _, _ = load_vocoder_checkpoint(
-                Path(vocoder_path), precision=vocoder_precision
-            )
         mesh = None
         if data_parallel is not None and data_parallel > 1:
             from ..parallel.mesh import make_mesh
 
             mesh = make_mesh(n_devices=data_parallel, model_parallel=1)
+        vocoder = None
+        if vocoder_path is not None:
+            if mesh is not None:
+                # mesh-aware vocoder: plain data parallelism when the batch
+                # fills the mesh, receptive-field-window sequence parallelism
+                # for long low-batch mels (identical output either way)
+                from ..models.hifigan import (
+                    load_vocoder_params,
+                    make_parallel_vocoder_fn,
+                )
+
+                vp, vcfg, _ = load_vocoder_params(Path(vocoder_path))
+                vocoder = make_parallel_vocoder_fn(
+                    vp, vcfg, mesh, precision=vocoder_precision
+                )
+            else:
+                vocoder, _, _ = load_vocoder_checkpoint(
+                    Path(vocoder_path), precision=vocoder_precision
+                )
         return cls(
             model, variables, config, stats, lang2id, speaker2id,
             vocoder=vocoder, max_frames=max_frames, mesh=mesh,

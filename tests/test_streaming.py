@@ -119,3 +119,70 @@ def test_server_low_latency_stream(tmp_path):
         assert n_samples == expected
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Sequence-parallel vocoding (models/hifigan.make_parallel_vocoder_fn):
+# the frame axis split into receptive-field-padded windows sharded over the
+# mesh — same window contract as streaming, parallel instead of sequential.
+# ---------------------------------------------------------------------------
+
+
+def _tiny_gen():
+    from fastspeech2_lightning_tpu.models.hifigan import (
+        HiFiGANConfig,
+        init_random_hifigan,
+    )
+
+    config = HiFiGANConfig(
+        upsample_rates=(8, 8, 2, 2),
+        upsample_kernel_sizes=(16, 16, 4, 4),
+        upsample_initial_channel=32,
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+        n_mels=20,
+    )
+    return init_random_hifigan(config), config
+
+
+@pytest.mark.parametrize("shape", [(1, 300), (2, 257), (1, 2048)])
+def test_parallel_vocoder_matches_single_device(shape):
+    """Window-parallel vocode over the 8-virtual-device mesh is identical
+    to the plain single-device generator, including non-divisible T."""
+    import jax.numpy as jnp
+
+    from fastspeech2_lightning_tpu.models.hifigan import (
+        hifigan_generator,
+        make_parallel_vocoder_fn,
+    )
+    from fastspeech2_lightning_tpu.parallel.mesh import make_mesh
+
+    params, config = _tiny_gen()
+    mesh = make_mesh()
+    voc = make_parallel_vocoder_fn(params, config, mesh)
+    B, T = shape
+    mel = np.random.default_rng(T).normal(size=(B, T, 20)).astype(np.float32)
+    wav, sr = voc(mel)
+    assert sr == config.sampling_rate
+    full = np.asarray(hifigan_generator(params, jnp.asarray(mel), config))
+    assert wav.shape == full.shape
+    np.testing.assert_allclose(wav, full, atol=2e-5)
+
+
+def test_parallel_vocoder_short_mel_plain_path(monkeypatch):
+    """T too short to split must fall back to one plain call (and still
+    match the generator exactly)."""
+    import jax.numpy as jnp
+
+    from fastspeech2_lightning_tpu.models.hifigan import (
+        hifigan_generator,
+        make_parallel_vocoder_fn,
+    )
+    from fastspeech2_lightning_tpu.parallel.mesh import make_mesh
+
+    params, config = _tiny_gen()
+    voc = make_parallel_vocoder_fn(params, config, make_mesh())
+    mel = np.random.default_rng(3).normal(size=(1, 24, 20)).astype(np.float32)
+    wav, _ = voc(mel)
+    full = np.asarray(hifigan_generator(params, jnp.asarray(mel), config))
+    np.testing.assert_allclose(wav, full, atol=2e-5)
