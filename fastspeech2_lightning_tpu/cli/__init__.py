@@ -609,6 +609,71 @@ def export_checkpoint_cmd(ckpt_path: Path, output: Path):
 
 
 @app.command(
+    "export-serving",
+    help="Lower the serving program set to StableHLO (jax.export) and write "
+    "one self-contained .fs2x artifact: a host with only JAX and this "
+    "package's loader serves synthesis with no model code, checkpoint, or "
+    "jit compile (synthesis/exported.py).",
+)
+@click.argument("ckpt_path", type=click.Path(exists=True, path_type=Path))
+@click.option(
+    "--output", "-o", type=click.Path(path_type=Path), required=True,
+    help="Output .fs2x artifact path.",
+)
+@click.option(
+    "--vocoder-path", "-v", type=click.Path(exists=True, path_type=Path),
+    default=None, help="Also export the HiFiGAN mel->wav programs.",
+)
+@click.option(
+    "--batch-size", "-b", "batch_sizes", type=int, multiple=True,
+    default=(1, 8), show_default=True,
+    help="Batch sizes to export programs for (repeatable).",
+)
+@click.option(
+    "--text-bucket", "text_buckets", type=int, multiple=True, default=None,
+    help="Text-length buckets (repeatable). Default: every 16-multiple up "
+    "to the corpus chunker's max emit length (the warmup shape set).",
+)
+@click.option("--max-frames", type=int, default=None)
+@click.option(
+    "--platforms", default=None,
+    help="Comma-separated lowering platforms, e.g. 'cpu,tpu' for a portable "
+    "artifact. Default: the current backend only. Exporting on TPU bakes "
+    "the Pallas kernels (fastest, TPU-only); exporting on CPU traces the "
+    "portable op set.",
+)
+@click.option("--use-ema/--no-use-ema", default=False)
+def export_serving_cmd(
+    ckpt_path: Path,
+    output: Path,
+    vocoder_path,
+    batch_sizes,
+    text_buckets,
+    max_frames,
+    platforms,
+    use_ema,
+):
+    from ..synthesis.exported import export_serving_artifact
+
+    plats = None
+    if platforms:
+        plats = ["tpu" if p.strip() == "axon" else p.strip()
+                 for p in platforms.split(",") if p.strip()]
+    out = export_serving_artifact(
+        ckpt_path,
+        output,
+        vocoder_path=vocoder_path,
+        batch_sizes=tuple(batch_sizes),
+        text_buckets=tuple(text_buckets) if text_buckets else None,
+        max_frames=max_frames,
+        platforms=plats,
+        use_ema=use_ema,
+    )
+    size_mb = out.stat().st_size / 1e6
+    click.echo(f"exported serving artifact -> {out} ({size_mb:.1f} MB)")
+
+
+@app.command(
     "convert-artifacts",
     help="Convert a reference preprocessed tree (.pt artifacts) to .npy in "
     "place, so a corpus preprocessed with the PyTorch reference trains here "

@@ -1,0 +1,136 @@
+"""jax.export serving artifacts (synthesis/exported.py).
+
+The exported StableHLO program set must reproduce the live Synthesizer
+bit-for-bit: same bucket selection, padding, duration-overflow re-run, and
+vocoder trim — with no model code or checkpoint at load time."""
+
+import zipfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from fastspeech2_lightning_tpu.testing import (
+    get_stubbed_model,
+    get_stubbed_vocoder,
+)
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    td = tmp_path_factory.mktemp("exported")
+    _model, ckpt_path = get_stubbed_model(td)
+    _voc, voc_path = get_stubbed_vocoder(td)
+    from fastspeech2_lightning_tpu.synthesis.exported import (
+        export_serving_artifact,
+    )
+
+    art = export_serving_artifact(
+        ckpt_path,
+        td / "model.fs2x",
+        vocoder_path=voc_path,
+        batch_sizes=(2,),
+        text_buckets=(16, 48),
+        max_frames=512,
+    )
+    return art, ckpt_path, voc_path
+
+
+def test_artifact_layout(artifact):
+    art, _ckpt, _voc = artifact
+    zf = zipfile.ZipFile(art)
+    names = set(zf.namelist())
+    assert "meta.json" in names
+    assert "params.npz" in names
+    assert "vocoder_params.npz" in names
+    assert any(n.startswith("acoustic/") for n in names)
+    assert any(n.startswith("vocoder/") for n in names)
+    # the largest text bucket gets an extra full-cap program for
+    # duration-overflow re-runs
+    assert "acoustic/B2_L48_T512.jaxexp" in names
+
+
+def test_exported_matches_live_synthesizer(artifact):
+    art, ckpt_path, voc_path = artifact
+    from fastspeech2_lightning_tpu.synthesis.api import Synthesizer
+    from fastspeech2_lightning_tpu.synthesis.exported import (
+        ExportedSynthesizer,
+    )
+
+    texts = ["hello world", "a longer sentence to synthesize today"]
+    with ExportedSynthesizer(art) as ex:
+        r = ex.synthesize(texts)
+    live = Synthesizer.from_checkpoint(ckpt_path, vocoder_path=voc_path)
+    r2 = live.synthesize(texts)
+    assert r.sample_rate == r2.sample_rate
+    for a, b in zip(r.mels, r2.mels):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-6)
+    for a, b in zip(r.durations, r2.durations):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(r.wavs, r2.wavs):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_exported_needs_no_checkpoint(artifact, tmp_path):
+    """The artifact is self-contained: copy it elsewhere, delete nothing
+    else matters — loading reads only the zip."""
+    art, _ckpt, _voc = artifact
+    moved = tmp_path / "standalone.fs2x"
+    moved.write_bytes(Path(art).read_bytes())
+    from fastspeech2_lightning_tpu.synthesis.exported import (
+        ExportedSynthesizer,
+    )
+
+    with ExportedSynthesizer(moved) as ex:
+        r = ex.synthesize(["hello"], vocode=False)
+    assert r.mels[0].ndim == 2
+    assert r.wavs is None
+
+
+def test_exported_uncovered_shape_errors(artifact):
+    art, _ckpt, _voc = artifact
+    from fastspeech2_lightning_tpu.synthesis.exported import (
+        ExportedSynthesizer,
+    )
+
+    with ExportedSynthesizer(art) as ex:
+        with pytest.raises(ValueError, match="no exported acoustic program"):
+            ex.synthesize(["x" * 100])  # L=112 > largest exported bucket 48
+        # B=3 > exported batch 2: micro-batched through the B=2 program
+        r = ex.synthesize(["one", "two", "three"], vocode=False)
+        assert len(r.mels) == 3
+
+
+def test_exported_long_text_chunks(artifact):
+    art, _ckpt, _voc = artifact
+    from fastspeech2_lightning_tpu.synthesis.exported import (
+        ExportedSynthesizer,
+    )
+
+    long_text = "hello there. " * 8  # 104 chars; chunks must fit 48-buckets
+    with ExportedSynthesizer(art) as ex:
+        r = ex.synthesize_long(long_text)
+    assert len(r.mels) == 1 and len(r.wavs) == 1
+    assert r.mels[0].shape[0] * ex.meta["hop"] == r.wavs[0].shape[0]
+
+
+def test_cli_export_serving(artifact, tmp_path):
+    art, ckpt_path, voc_path = artifact
+    from click.testing import CliRunner
+
+    from fastspeech2_lightning_tpu.cli import app
+
+    out = tmp_path / "cli.fs2x"
+    res = CliRunner().invoke(
+        app,
+        [
+            "export-serving", str(ckpt_path), "-o", str(out),
+            "-v", str(voc_path), "-b", "1",
+            "--text-bucket", "16", "--max-frames", "256",
+        ],
+    )
+    assert res.exit_code == 0, res.output
+    assert out.exists()
+    assert "exported serving artifact" in res.output
