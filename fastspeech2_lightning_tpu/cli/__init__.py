@@ -536,7 +536,10 @@ def average_checkpoints_cmd(ckpt_dir: Path, output: Path, last, use_ema):
 @app.command(
     "serve",
     help="Resident batch-streaming synthesis server (POST /synthesize "
-    "streams wav chunk-by-chunk; GET /health). Beyond-reference feature.",
+    "streams wav chunk-by-chunk; GET /health). MODEL_PATH is an orbax "
+    "checkpoint, a reference Lightning .ckpt, or an ahead-of-time .fs2x "
+    "artifact from export-serving (no model code or jit compile). "
+    "Beyond-reference feature.",
 )
 @click.argument("model_path", type=click.Path(exists=True, path_type=Path))
 @click.option("--vocoder-path", "-v", type=click.Path(path_type=Path), default=None)

@@ -456,6 +456,32 @@ def serve(
     from ..synthesis.api import Synthesizer
     from ..training.checkpoint import get_global_step
 
+    if str(model_path).endswith(".fs2x"):
+        # ahead-of-time artifact (export-serving): fixed exported program
+        # set, no model code or jit — checkpoint-only knobs don't apply
+        from ..synthesis.exported import ExportedSynthesizer
+
+        rejected = {
+            "--vocoder-path": vocoder_path,
+            "--use-ema": use_ema or None,
+            "--data-parallel": data_parallel,
+            "--max-frames": max_frames,
+        }
+        bad = [k for k, v in rejected.items() if v]
+        if bad:
+            raise ValueError(
+                f"{', '.join(bad)} cannot apply to a .fs2x artifact — these "
+                "are fixed at export time (fs2t export-serving)"
+            )
+        syn = ExportedSynthesizer(model_path)
+        if warmup:
+            n = syn.warmup(max_batch)
+            logger.info("warmup executed %d exported programs", n)
+        return SynthesisServer(
+            syn, host=host, port=port, max_batch=max_batch,
+            batch_window_ms=batch_window_ms, global_step=syn.global_step,
+        )
+
     syn = Synthesizer.from_checkpoint(
         model_path, vocoder_path=vocoder_path, max_frames=max_frames,
         use_ema=use_ema, vocoder_precision=vocoder_precision,

@@ -141,7 +141,7 @@ def export_serving_artifact(
     from .synthesize import load_model_from_checkpoint
 
     (
-        model, variables, config, stats, lang2id, speaker2id, _step,
+        model, variables, config, stats, lang2id, speaker2id, step,
     ) = load_model_from_checkpoint(Path(ckpt_path), use_ema=use_ema)
     cap = int(max_frames or config.model.max_mel_length)
     if text_buckets is None:
@@ -243,6 +243,7 @@ def export_serving_artifact(
         "acoustic": acoustic_manifest,
         "vocoder": vocoder_manifest,
         "vocoder_meta": voc_meta,
+        "global_step": int(step),
         "jax_version": jax.__version__,
     }
 
@@ -294,6 +295,57 @@ class ExportedSynthesizer:
                 dict(np.load(io.BytesIO(self._zip.read("vocoder_params.npz"))))
             )
         self._calls: Dict[str, Any] = {}
+
+    # -- server-facing surface (serving/server.py duck-types these) ---------
+
+    @property
+    def global_step(self) -> int:
+        return int(self.meta.get("global_step", 0))
+
+    @property
+    def vocoder(self):
+        """Truthy sentinel with .sample_rate when wav programs exist —
+        the attribute surface serving/server.py reads."""
+        if self.vocoder_params is None:
+            return None
+        if not hasattr(self, "_voc_handle"):
+            meta = self.meta["vocoder_meta"]
+
+            class _Handle:
+                sample_rate = meta["sampling_rate"]
+                hop = meta["hop"]
+
+            self._voc_handle = _Handle()
+        return self._voc_handle
+
+    def synthesize_stream(self, *_a, **_k):
+        raise ValueError(
+            "low_latency streaming is not available from an exported "
+            "artifact (the windowed vocoder programs are not exported); "
+            "serve from the checkpoint for synthesize_stream"
+        )
+
+    def warmup(self, batch_size: int, **_k) -> int:
+        """Execute every exported program once (deserialize + first XLA
+        compile off the request path). batch_size is ignored — the program
+        set is fixed at export time."""
+        n = 0
+        for e in self.meta["acoustic"]:
+            text = np.ones((e["B"], e["L"]), dtype=np.int32)
+            self._call(e["file"])(
+                self.variables, text,
+                np.full(e["B"], e["L"], dtype=np.int32),
+                np.zeros(e["B"], dtype=np.int32),
+                np.zeros(e["B"], dtype=np.int32),
+                np.float32(1.0), np.float32(1.0), np.float32(1.0),
+            )
+            n += 1
+        n_mels = self.config.preprocessing.audio.n_mels
+        for e in self.meta["vocoder"]:
+            mel = np.zeros((e["B"], e["T"], n_mels), dtype=np.float32)
+            self._call(e["file"])(self.vocoder_params, mel)
+            n += 1
+        return n
 
     # -- program lookup -----------------------------------------------------
 

@@ -116,6 +116,56 @@ def test_exported_long_text_chunks(artifact):
     assert r.mels[0].shape[0] * ex.meta["hop"] == r.wavs[0].shape[0]
 
 
+def test_serve_from_artifact(artifact):
+    """`fs2t serve model.fs2x`: the HTTP server runs on the exported
+    program set — health, mel and wav formats, low_latency rejected."""
+    import json as _json
+    import urllib.request
+
+    from fastspeech2_lightning_tpu.serving.server import serve
+
+    art, _ckpt, _voc = artifact
+    srv = serve(str(art), port=0, max_batch=2, warmup=True)
+    srv.start()
+    try:
+        host, port = srv.address
+        base = f"http://{host}:{port}"
+        with urllib.request.urlopen(f"{base}/health", timeout=30) as r:
+            body = _json.loads(r.read())
+        assert body["status"] == "ok" and body["has_vocoder"] is True
+
+        def post(payload):
+            req = urllib.request.Request(
+                f"{base}/synthesize",
+                data=_json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            return urllib.request.urlopen(req, timeout=300)
+
+        with post({"text": "hello world", "format": "mel"}) as r:
+            assert r.status == 200
+            assert len(r.read()) > 0
+        with post({"text": "hello world"}) as r:  # wav
+            data = r.read()
+            assert data[:4] == b"RIFF"
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as err:
+            post({"text": "hello", "low_latency": True})
+        assert err.value.code == 400
+    finally:
+        srv.shutdown()
+
+
+def test_serve_artifact_rejects_checkpoint_flags(artifact):
+    from fastspeech2_lightning_tpu.serving.server import serve
+
+    art, _ckpt, voc_path = artifact
+    with pytest.raises(ValueError, match="fixed at export time"):
+        serve(str(art), vocoder_path=str(voc_path))
+
+
 def test_cli_export_serving(artifact, tmp_path):
     art, ckpt_path, voc_path = artifact
     from click.testing import CliRunner
