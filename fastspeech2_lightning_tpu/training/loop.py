@@ -30,6 +30,7 @@ from .checkpoint import (
     prune_checkpoints,
     save_checkpoint,
 )
+from .preemption import install_preemption_handler
 from .state import TrainState, create_train_state, make_optimizer
 from .step import make_eval_step, make_train_step
 from ..preprocessing.stats import load_stats
@@ -325,10 +326,24 @@ class Trainer:
         prefetch = DevicePrefetcher(
             loader, mesh=self.mesh, size=config.training.prefetch_batches
         )
+        # Preemption-safe shutdown: TPU fleets reclaim VMs with SIGTERM.
+        # First signal -> finish the in-flight step, checkpoint, exit 0
+        # (resume picks up at the same step); handlers are restored
+        # immediately so a second signal kills the process normally.
+        # (The reference's recovery story is "resume from the last cadence
+        # checkpoint" — this loses zero steps instead of up to ckpt_steps.)
+        preempt = install_preemption_handler()
         while step < max_steps and epoch < config.training.max_epochs and not stop_early:
             for db in prefetch:
                 state, losses = train_step(state, db, rng, epoch)
                 step = int(state.step)
+                if preempt["flag"]:
+                    print(
+                        f"received signal {preempt['signum']}: checkpointing "
+                        f"at step {step} and exiting cleanly"
+                    )
+                    stop_early = True
+                    break
                 if timed_from is None:
                     # steps/s excludes the first step (jit compile)
                     timed_from = (step, time.time())

@@ -469,8 +469,19 @@ def train_vocoder(
 
     producer = threading.Thread(target=produce, daemon=True)
     producer.start()
+    # SIGTERM/SIGINT -> finish the step, checkpoint, exit 0 (resume-exact;
+    # see training/preemption.py)
+    from .preemption import install_preemption_handler
+
+    preempt = install_preemption_handler()
     try:
         while step < max_steps:
+            if preempt["flag"]:
+                print(
+                    f"received signal {preempt['signum']}: checkpointing "
+                    f"vocoder at step {step} and exiting cleanly"
+                )
+                break
             batch = q.get()
             if mesh is not None:
                 from ..parallel.mesh import shard_batch
