@@ -612,6 +612,30 @@ def export_checkpoint_cmd(ckpt_path: Path, output: Path):
 
 
 @app.command(
+    "doctor",
+    help="Environment diagnostics: versions, native kernels, compile "
+    "cache, device reachability (probed with a timeout so a dead TPU "
+    "tunnel reports instead of hanging), and optional config/artifact "
+    "validation. Exit code 1 on hard failures.",
+)
+@click.argument(
+    "config_file", type=click.Path(exists=True, path_type=Path),
+    required=False,
+)
+@click.option(
+    "--device-timeout", type=float, default=60.0, show_default=True,
+    help="Seconds to wait for accelerator init before declaring it down.",
+)
+def doctor_cmd(config_file, device_timeout):
+    from .doctor import run_doctor
+
+    raise SystemExit(
+        run_doctor(config_file, device_timeout_s=device_timeout,
+                   echo=click.echo)
+    )
+
+
+@app.command(
     "export-serving",
     help="Lower the serving program set to StableHLO (jax.export) and write "
     "one self-contained .fs2x artifact: a host with only JAX and this "
