@@ -116,6 +116,29 @@ def test_exported_long_text_chunks(artifact):
     assert r.mels[0].shape[0] * ex.meta["hop"] == r.wavs[0].shape[0]
 
 
+def test_multi_platform_export_matches_live(artifact, tmp_path):
+    """platforms=("cpu","tpu") lowers once per platform into one artifact;
+    the CPU execution must still match the live Synthesizer exactly."""
+    art, ckpt_path, _voc = artifact
+    from fastspeech2_lightning_tpu.synthesis.api import Synthesizer
+    from fastspeech2_lightning_tpu.synthesis.exported import (
+        ExportedSynthesizer,
+        export_serving_artifact,
+    )
+
+    multi = export_serving_artifact(
+        ckpt_path, tmp_path / "multi.fs2x", batch_sizes=(1,),
+        text_buckets=(16,), max_frames=256, platforms=("cpu", "tpu"),
+    )
+    with ExportedSynthesizer(multi) as ex:
+        assert ex.meta["platforms"] == ["cpu", "tpu"]
+        r = ex.synthesize(["hello"], vocode=False)
+    live = Synthesizer.from_checkpoint(ckpt_path)
+    r2 = live.synthesize(["hello"], vocode=False)
+    assert r.mels[0].shape == r2.mels[0].shape
+    np.testing.assert_allclose(r.mels[0], r2.mels[0], atol=1e-6)
+
+
 def test_serve_from_artifact(artifact):
     """`fs2t serve model.fs2x`: the HTTP server runs on the exported
     program set — health, mel and wav formats, low_latency rejected."""
