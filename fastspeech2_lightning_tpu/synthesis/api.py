@@ -160,6 +160,18 @@ class Synthesizer:
         encoded = [np.asarray(tp.encode_text(t), dtype=np.int32) for t in texts]
         if any(len(e) == 0 for e in encoded):
             raise ValueError("one or more inputs contain no known symbols")
+        # reference CLI semantics (fs2/cli/synthesize.py:28-72): unknown
+        # names error instead of silently conditioning on id 0
+        if language is not None and language not in self.lang2id:
+            raise ValueError(
+                f"unknown language {language!r}; available: "
+                f"{sorted(self.lang2id) or ['<none>']}"
+            )
+        if speaker is not None and speaker not in self.speaker2id:
+            raise ValueError(
+                f"unknown speaker {speaker!r}; available: "
+                f"{sorted(self.speaker2id) or ['<none>']}"
+            )
         B = len(encoded)
         L = _round_up(max(len(e) for e in encoded), PAD_MULT_TEXT)
         text = np.zeros((B, L), dtype=np.int32)

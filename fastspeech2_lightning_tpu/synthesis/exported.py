@@ -400,6 +400,16 @@ class ExportedSynthesizer:
         encoded = [np.asarray(tp.encode_text(t), dtype=np.int32) for t in texts]
         if any(len(e) == 0 for e in encoded):
             raise ValueError("one or more inputs contain no known symbols")
+        if language is not None and language not in self.lang2id:
+            raise ValueError(
+                f"unknown language {language!r}; available: "
+                f"{sorted(self.lang2id) or ['<none>']}"
+            )
+        if speaker is not None and speaker not in self.speaker2id:
+            raise ValueError(
+                f"unknown speaker {speaker!r}; available: "
+                f"{sorted(self.speaker2id) or ['<none>']}"
+            )
         B = len(encoded)
         max_B = max(e["B"] for e in self.meta["acoustic"])
         if B > max_B:

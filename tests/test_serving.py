@@ -116,6 +116,18 @@ def test_error_paths(server):
     except urllib.error.HTTPError as e:
         raised = e.code == 400
     assert raised
+    # unknown speaker/language error instead of silently conditioning on
+    # id 0 (reference fs2/cli/synthesize.py:28-72 semantics)
+    for payload in (
+        {"text": "hi", "speaker": "nobody"},
+        {"text": "hi", "language": "klingon"},
+    ):
+        try:
+            _post(server, payload)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = e.code in (400, 500) and b"unknown" in e.read()
+        assert raised, payload
 
 
 def test_pcm16_and_header_helpers():

@@ -90,6 +90,14 @@ def test_synthesizer_api(tmp_path):
     # same padded shape -> no recompile on second call (cached jit)
     r2 = synth.synthesize(["another phrase here"])
     assert len(r2.mels) == 1
+    # valid names pass; unknown names error (reference CLI semantics)
+    synth.synthesize(["ok"], language="default", speaker="default", vocode=False)
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown language"):
+        synth.synthesize(["ok"], language="klingon")
+    with pytest.raises(ValueError, match="unknown speaker"):
+        synth.synthesize(["ok"], speaker="nobody")
 
 
 def test_synthesizer_long_form(tmp_path):
