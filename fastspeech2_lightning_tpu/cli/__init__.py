@@ -663,6 +663,12 @@ def doctor_cmd(config_file, device_timeout):
 )
 @click.option("--max-frames", type=int, default=None)
 @click.option(
+    "--streaming-window", "streaming_windows", type=int, multiple=True,
+    default=(128,), show_default=True,
+    help="Low-latency windowed-vocoder window sizes (frames) to export "
+    "(repeatable); enables low_latency/synthesize_stream from the artifact.",
+)
+@click.option(
     "--platforms", default=None,
     help="Comma-separated lowering platforms, e.g. 'cpu,tpu' for a portable "
     "artifact. Default: the current backend only. Exporting on TPU bakes "
@@ -677,6 +683,7 @@ def export_serving_cmd(
     batch_sizes,
     text_buckets,
     max_frames,
+    streaming_windows,
     platforms,
     use_ema,
 ):
@@ -693,6 +700,7 @@ def export_serving_cmd(
         batch_sizes=tuple(batch_sizes),
         text_buckets=tuple(text_buckets) if text_buckets else None,
         max_frames=max_frames,
+        streaming_windows=tuple(streaming_windows),
         platforms=plats,
         use_ema=use_ema,
     )

@@ -127,6 +127,7 @@ def export_serving_artifact(
     max_frames: Optional[int] = None,
     platforms: Optional[Sequence[str]] = None,
     use_ema: bool = False,
+    streaming_windows: Sequence[int] = (128,),
 ) -> Path:
     """Lower the serving program set to StableHLO and write one .fs2x zip.
 
@@ -203,6 +204,7 @@ def export_serving_artifact(
         acoustic_manifest.append({"B": B, "L": L, "T": T, "file": name})
 
     vocoder_manifest = []
+    streaming_manifest = []
     voc_flat = None
     voc_meta = None
     if vocoder_path is not None:
@@ -213,22 +215,36 @@ def export_serving_artifact(
         voc_meta = {
             "sampling_rate": vcfg.sampling_rate,
             "hop": vcfg.total_upsampling,
+            "margin": vcfg.receptive_margin_frames,
         }
         vp_specs = jax.tree_util.tree_map(
             lambda x: _spec(np.shape(x), np.asarray(x).dtype), vp
         )
+
+        def _export_voc(B: int, T: int):
+            fn = jax.jit(
+                lambda p, mel, _cfg=vcfg: hifigan_generator(p, mel, _cfg)
+            )
+            return jexport.export(
+                fn, platforms=list(platforms) if platforms else None
+            )(vp_specs, _spec((B, T, vcfg.n_mels)))
+
         frame_buckets = sorted({T for (_B, _L, T) in shapes})
         for B in batch_sizes:
             for T in frame_buckets:
-                fn = jax.jit(
-                    lambda p, mel, _cfg=vcfg: hifigan_generator(p, mel, _cfg)
-                )
-                exp = jexport.export(
-                    fn, platforms=list(platforms) if platforms else None
-                )(vp_specs, _spec((B, T, vcfg.n_mels)))
                 name = f"vocoder/B{B}_T{T}.jaxexp"
-                blobs[name] = exp.serialize()
+                blobs[name] = _export_voc(B, T).serialize()
                 vocoder_manifest.append({"B": B, "T": T, "file": name})
+        # low-latency streaming: one B=1 program per (window + 2*margin)
+        # slice shape — the windowed_vocode contract (synthesis/streaming.py)
+        margin = vcfg.receptive_margin_frames
+        for window in sorted({int(w) for w in streaming_windows}):
+            W = window + 2 * margin
+            name = f"vocoder_streaming/W{window}.jaxexp"
+            blobs[name] = _export_voc(1, W).serialize()
+            streaming_manifest.append(
+                {"window": window, "W": W, "file": name}
+            )
 
     meta = {
         "format_version": FORMAT_VERSION,
@@ -242,6 +258,7 @@ def export_serving_artifact(
         "hop": config.preprocessing.audio.fft_hop_size,
         "acoustic": acoustic_manifest,
         "vocoder": vocoder_manifest,
+        "vocoder_streaming": streaming_manifest,
         "vocoder_meta": voc_meta,
         "global_step": int(step),
         "jax_version": jax.__version__,
@@ -318,12 +335,56 @@ class ExportedSynthesizer:
             self._voc_handle = _Handle()
         return self._voc_handle
 
-    def synthesize_stream(self, *_a, **_k):
-        raise ValueError(
-            "low_latency streaming is not available from an exported "
-            "artifact (the windowed vocoder programs are not exported); "
-            "serve from the checkpoint for synthesize_stream"
-        )
+    def synthesize_stream(self, text: str, window: int = 128,
+                          margin: Optional[int] = None, **kwargs):
+        """Low-latency long-form synthesis from the artifact: yield float32
+        wav segments as the exported windowed-vocoder programs produce them
+        (Synthesizer.synthesize_stream semantics). For mels longer than the
+        window slice, every emitted sample's receptive field lies inside
+        its slice, so the concatenation equals full-mel vocoding; shorter
+        mels route through the bucketed wav path."""
+        if self.vocoder_params is None:
+            raise ValueError("synthesize_stream requires exported vocoder "
+                             "programs (export-serving -v ...)")
+        entries = {
+            e["window"]: e for e in self.meta.get("vocoder_streaming", [])
+        }
+        if window not in entries:
+            raise ValueError(
+                f"window {window} was not exported; available: "
+                f"{sorted(entries) or ['<none>']} (re-export with "
+                "--streaming-window)"
+            )
+        if margin is not None and margin != self.meta["vocoder_meta"]["margin"]:
+            raise ValueError(
+                "margin is fixed at export time to the generator's exact "
+                f"receptive field ({self.meta['vocoder_meta']['margin']})"
+            )
+        entry = entries[window]
+        m = self.meta["vocoder_meta"]["margin"]
+        hop = self.meta["vocoder_meta"]["hop"]
+        W = entry["W"]
+        call = self._call(entry["file"])
+        kwargs.pop("vocode", None)
+        chunks = self._chunk_long_text(text, kwargs.get("language"))
+        result = self.synthesize(chunks, vocode=False, **kwargs)
+        for i, mel in enumerate(result.mels):
+            T = mel.shape[0]
+            if T <= W:
+                # too short to window: the bucketed wav path (identical to
+                # this artifact's synthesize output for the same text)
+                r = self.synthesize([chunks[i]], **kwargs)
+                if r.wavs is not None:
+                    yield r.wavs[0]
+                continue
+            for start in range(0, T, window):
+                end = min(start + window, T)
+                lo = min(max(start - m, 0), T - W)
+                wav = np.asarray(
+                    call(self.vocoder_params, mel[None, lo : lo + W]),
+                    dtype=np.float32,
+                )[0]
+                yield wav[(start - lo) * hop : (end - lo) * hop]
 
     def warmup(self, batch_size: int, **_k) -> int:
         """Execute every exported program once (deserialize + first XLA
@@ -343,6 +404,10 @@ class ExportedSynthesizer:
         n_mels = self.config.preprocessing.audio.n_mels
         for e in self.meta["vocoder"]:
             mel = np.zeros((e["B"], e["T"], n_mels), dtype=np.float32)
+            self._call(e["file"])(self.vocoder_params, mel)
+            n += 1
+        for e in self.meta.get("vocoder_streaming", []):
+            mel = np.zeros((1, e["W"], n_mels), dtype=np.float32)
             self._call(e["file"])(self.vocoder_params, mel)
             n += 1
         return n
@@ -502,24 +567,27 @@ class ExportedSynthesizer:
             mels=mels, durations=durations, wavs=wavs, sample_rate=sr
         )
 
-    def synthesize_long(self, text: str, **kwargs) -> SynthesisResult:
-        """Chunk at the corpus-informed boundaries (fs2 chunking semantics,
-        mirrors Synthesizer.synthesize_long), synthesize the chunks as one
-        batch, and reassemble a single utterance — so arbitrary-length text
-        serves from the fixed exported bucket set."""
+    def _chunk_long_text(self, text: str, language=None) -> List[str]:
         from ..config import DatasetTextRepresentation
         from ..text.textsplit import chunk_text
         from .prepare import get_text_split_params
 
         desired, maxi, strong, weak = get_text_split_params(
             self.stats, DatasetTextRepresentation.characters, self.config,
-            kwargs.get("language"),
+            language,
         )
-        chunks = (
+        return (
             chunk_text(text, desired, maxi, strong, weak)
             if self.config.text.split_text
             else [text]
         )
+
+    def synthesize_long(self, text: str, **kwargs) -> SynthesisResult:
+        """Chunk at the corpus-informed boundaries (fs2 chunking semantics,
+        mirrors Synthesizer.synthesize_long), synthesize the chunks as one
+        batch, and reassemble a single utterance — so arbitrary-length text
+        serves from the fixed exported bucket set."""
+        chunks = self._chunk_long_text(text, kwargs.get("language"))
         result = self.synthesize(chunks, **kwargs)
         mel = np.concatenate(result.mels, axis=0)
         durations = np.concatenate(result.durations)

@@ -333,6 +333,24 @@ class Trainer:
         # (The reference's recovery story is "resume from the last cadence
         # checkpoint" — this loses zero steps instead of up to ckpt_steps.)
         preempt = install_preemption_handler()
+        try:
+            return self._fit_loop(
+                state, max_steps, config, prefetch, train_step, eval_step,
+                val_loader, rng, step, epoch, timed_from, val_interval,
+                ckpt_steps, ckpt_epochs, es, best_monitor,
+                stale_validations, stop_early, preempt,
+            )
+        finally:
+            # an unsignalled fit must not leave the handler installed
+            # (sequential fits would stack otherwise)
+            preempt["disarm"]()
+
+    def _fit_loop(
+        self, state, max_steps, config, prefetch, train_step, eval_step,
+        val_loader, rng, step, epoch, timed_from, val_interval,
+        ckpt_steps, ckpt_epochs, es, best_monitor, stale_validations,
+        stop_early, preempt,
+    ):
         while step < max_steps and epoch < config.training.max_epochs and not stop_early:
             for db in prefetch:
                 state, losses = train_step(state, db, rng, epoch)

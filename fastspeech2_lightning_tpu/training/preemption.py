@@ -19,27 +19,32 @@ def install_preemption_handler(
 ) -> Dict[str, object]:
     """Arm a one-shot graceful-shutdown flag for `signals`.
 
-    Returns a dict the training loop polls: {"flag": bool, "signum": int}.
-    The FIRST signal sets the flag and immediately restores the original
-    handlers, so a second signal (impatient operator, hard kill) behaves
-    normally. Outside the main thread (e.g. a Trainer driven from a server
-    thread) signal handlers are illegal — the flag is returned un-armed and
-    shutdown stays the caller's responsibility."""
+    Returns a dict the training loop polls: {"flag": bool, "signum": int,
+    "disarm": callable}. The FIRST signal sets the flag and immediately
+    restores the original handlers, so a second signal (impatient operator,
+    hard kill) behaves normally; a loop that finishes WITHOUT being
+    signalled must call `disarm()` (loops here do, in a finally) so
+    sequential fits never stack handlers. Outside the main thread (e.g. a
+    Trainer driven from a server thread) signal handlers are illegal — the
+    flag is returned un-armed and shutdown stays the caller's
+    responsibility."""
     state: Dict[str, object] = {"flag": False, "signum": None}
     originals = {}
 
     def _restore():
-        for s, h in originals.items():
+        for s, h in list(originals.items()):
             try:
                 signal.signal(s, h)
             except (ValueError, OSError):  # pragma: no cover - teardown race
                 pass
+        originals.clear()
 
     def _on_signal(signum, _frame):
         state["flag"] = True
         state["signum"] = signum
         _restore()
 
+    state["disarm"] = _restore
     try:
         for s in signals:
             originals[s] = signal.signal(s, _on_signal)

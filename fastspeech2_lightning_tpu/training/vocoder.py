@@ -507,6 +507,7 @@ def train_vocoder(
                 save_vocoder_checkpoint(ckpt_dir, state, gen_config)
     finally:
         stop.set()
+        preempt["disarm"]()  # unsignalled runs must not leak the handler
     save_vocoder_checkpoint(ckpt_dir, state, gen_config)
     print(f"vocoder checkpoint: {ckpt_dir / 'vocoder.npz'}")
     return state

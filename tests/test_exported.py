@@ -172,13 +172,55 @@ def test_serve_from_artifact(artifact):
         with post({"text": "hello world"}) as r:  # wav
             data = r.read()
             assert data[:4] == b"RIFF"
+        # low_latency works from the artifact (streaming programs exported)
+        with post({"text": "hello", "low_latency": True}) as r:
+            data = r.read()
+            assert data[:4] == b"RIFF"
         import urllib.error
 
+        # a window that was not exported fails loudly
         with pytest.raises(urllib.error.HTTPError) as err:
-            post({"text": "hello", "low_latency": True})
+            post({"text": "hello", "low_latency": True, "window": 64})
         assert err.value.code == 400
     finally:
         srv.shutdown()
+
+
+def test_exported_streaming_matches_full_vocode(artifact):
+    """synthesize_stream from the artifact: for mels longer than the
+    window slice, the concatenated stream equals full-mel vocoding of the
+    same (trimmed) mel — the windowed_vocode receptive-field contract."""
+    import jax.numpy as jnp
+
+    from fastspeech2_lightning_tpu.models.hifigan import (
+        hifigan_generator,
+        load_vocoder_params,
+    )
+    from fastspeech2_lightning_tpu.synthesis.exported import (
+        ExportedSynthesizer,
+    )
+
+    art, _ckpt, voc_path = artifact
+    with ExportedSynthesizer(art) as ex:
+        margin = ex.meta["vocoder_meta"]["margin"]
+        W = 128 + 2 * margin
+        # duration_control inflates the stub model's tiny durations so the
+        # mel comfortably exceeds one window slice
+        kwargs = dict(duration_control=40.0)
+        mel = ex.synthesize(
+            ["hello world"], vocode=False, **kwargs
+        ).mels[0]
+        assert mel.shape[0] > W, f"need T>{W}, got {mel.shape[0]}"
+        segs = list(ex.synthesize_stream("hello world", window=128, **kwargs))
+        stream = np.concatenate(segs)
+    vp, vcfg, _ = load_vocoder_params(voc_path)
+    full = np.asarray(hifigan_generator(vp, jnp.asarray(mel[None]), vcfg))[0]
+    assert stream.shape == full.shape
+    np.testing.assert_allclose(stream, full, atol=2e-5)
+
+    with ExportedSynthesizer(art) as ex:
+        with pytest.raises(ValueError, match="was not exported"):
+            list(ex.synthesize_stream("hello", window=64))
 
 
 def test_serve_artifact_rejects_checkpoint_flags(artifact):

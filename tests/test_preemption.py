@@ -45,6 +45,19 @@ def test_non_main_thread_is_a_noop():
     assert signal.getsignal(signal.SIGTERM) is original
 
 
+def test_disarm_restores_without_signal():
+    """A loop that finishes unsignalled calls disarm() — sequential fits
+    must never stack handlers."""
+    original = signal.getsignal(signal.SIGTERM)
+    state = install_preemption_handler(signals=(signal.SIGTERM,))
+    assert signal.getsignal(signal.SIGTERM) is not original
+    state["disarm"]()
+    assert signal.getsignal(signal.SIGTERM) is original
+    # disarm is idempotent
+    state["disarm"]()
+    assert signal.getsignal(signal.SIGTERM) is original
+
+
 def test_sigterm_checkpoints_and_exits_cleanly(tmp_path, monkeypatch):
     """fit() under SIGTERM finishes the in-flight step, writes a checkpoint
     at that exact step, returns normally, and the run resumes from it."""
@@ -57,6 +70,7 @@ def test_sigterm_checkpoints_and_exits_cleanly(tmp_path, monkeypatch):
     cfg = make_training_workspace(
         tmp_path, max_steps=500, ckpt_steps=10_000, val_check_interval=10_000
     )
+    handler_before_fit = signal.getsignal(signal.SIGTERM)
     trainer = Trainer(cfg)
     # deliver SIGTERM from inside the first step's logging callback — the
     # deterministic stand-in for a fleet preemption mid-run
@@ -78,8 +92,9 @@ def test_sigterm_checkpoints_and_exits_cleanly(tmp_path, monkeypatch):
     assert ckpt is not None
     meta, _arrays = load_checkpoint(ckpt)
     assert meta["global_step"] == stopped_at
-    # original handler back in place
-    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+    # the pre-fit disposition is back in place (whatever it was — earlier
+    # suite tests may legitimately leave a non-default handler installed)
+    assert signal.getsignal(signal.SIGTERM) == handler_before_fit
     # and the run resumes exactly where it stopped
     trainer2 = Trainer(cfg)
     state2 = trainer2.fit(max_steps=stopped_at + 2, resume=True)
