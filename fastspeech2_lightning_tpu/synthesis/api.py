@@ -156,8 +156,14 @@ class Synthesizer:
         is detected and re-run at the exact bucket — output is identical to
         the fixed-max_frames path, short inputs just stop paying for it.
         Costs one jit compile per occupied bucket (first hit only)."""
-        tp = self.text_processor
-        encoded = [np.asarray(tp.encode_text(t), dtype=np.int32) for t in texts]
+        from .prepare import encode_texts_for_model
+
+        if not hasattr(self, "_encode_cache"):
+            self._encode_cache = {}
+        encoded = encode_texts_for_model(
+            texts, language, self.config, self.text_processor,
+            self._encode_cache,
+        )
         if any(len(e) == 0 for e in encoded):
             raise ValueError("one or more inputs contain no known symbols")
         # reference CLI semantics (fs2/cli/synthesize.py:28-72): unknown
@@ -341,13 +347,21 @@ class Synthesizer:
         return n
 
     def _chunk_text(self, text: str, language: Optional[str]) -> List[str]:
-        from ..config import DatasetTextRepresentation
+        from ..config import (
+            DatasetTextRepresentation,
+            TargetTrainingTextRepresentationLevel,
+        )
         from ..text.textsplit import chunk_text
         from .prepare import get_text_split_params
 
+        level = self.config.model.target_text_representation_level
+        representation = (
+            DatasetTextRepresentation.characters
+            if level == TargetTrainingTextRepresentationLevel.characters
+            else DatasetTextRepresentation.ipa_phones
+        )
         desired, maxi, strong, weak = get_text_split_params(
-            self.stats, DatasetTextRepresentation.characters, self.config,
-            language,
+            self.stats, representation, self.config, language,
         )
         return (
             chunk_text(text, desired, maxi, strong, weak)

@@ -461,8 +461,14 @@ class ExportedSynthesizer:
     ) -> SynthesisResult:
         import jax
 
-        tp = self.text_processor
-        encoded = [np.asarray(tp.encode_text(t), dtype=np.int32) for t in texts]
+        from .prepare import encode_texts_for_model
+
+        if not hasattr(self, "_encode_cache"):
+            self._encode_cache = {}
+        encoded = encode_texts_for_model(
+            texts, language, self.config, self.text_processor,
+            self._encode_cache,
+        )
         if any(len(e) == 0 for e in encoded):
             raise ValueError("one or more inputs contain no known symbols")
         if language is not None and language not in self.lang2id:
@@ -568,13 +574,21 @@ class ExportedSynthesizer:
         )
 
     def _chunk_long_text(self, text: str, language=None) -> List[str]:
-        from ..config import DatasetTextRepresentation
+        from ..config import (
+            DatasetTextRepresentation,
+            TargetTrainingTextRepresentationLevel,
+        )
         from ..text.textsplit import chunk_text
         from .prepare import get_text_split_params
 
+        level = self.config.model.target_text_representation_level
+        representation = (
+            DatasetTextRepresentation.characters
+            if level == TargetTrainingTextRepresentationLevel.characters
+            else DatasetTextRepresentation.ipa_phones
+        )
         desired, maxi, strong, weak = get_text_split_params(
-            self.stats, DatasetTextRepresentation.characters, self.config,
-            language,
+            self.stats, representation, self.config, language,
         )
         return (
             chunk_text(text, desired, maxi, strong, weak)

@@ -67,6 +67,54 @@ def get_text_split_params(
     return desired, maxi, strong, weak
 
 
+def encode_texts_for_model(
+    texts: List[str],
+    language: Optional[str],
+    config,
+    text_processor,
+    cache: dict,
+):
+    """Per-text id arrays honoring model.target_text_representation_level —
+    the serving-path analogue of FastSpeechDataset._encode_text (which runs
+    g2p for phones-trained models, fs2/dataset.py:88-98 parity). Character
+    models tokenize directly; phones models g2p each text for `language`
+    first (a bare encode_text would feed characters to a phone-trained
+    embedding). `cache` holds the lazily-built Preprocessor across calls."""
+    import numpy as np
+
+    from ..config import TargetTrainingTextRepresentationLevel as Level
+
+    level = config.model.target_text_representation_level
+    if level == Level.characters:
+        return [
+            np.asarray(text_processor.encode_text(t), dtype=np.int32)
+            for t in texts
+        ]
+    if level == Level.phonological_features:
+        raise NotImplementedError(
+            "serving a phonological_features-level model through the "
+            "resident API is not supported yet — use `fs2t synthesize` "
+            "(the dataset path builds the pfs inputs)"
+        )
+    pre = cache.get("preprocessor")
+    if pre is None:
+        from ..preprocessing.pipeline import Preprocessor
+
+        pre = cache["preprocessor"] = Preprocessor(config)
+    out = []
+    for t in texts:
+        _ch, phone_tokens, _pfs = pre.process_text(
+            {"text": t, "language": language or "default"}
+        )
+        out.append(
+            np.asarray(
+                text_processor.encode_tokens(phone_tokens or []),
+                dtype=np.int32,
+            )
+        )
+    return out
+
+
 def prepare_data(
     texts: Optional[List[str]],
     language: Optional[str],

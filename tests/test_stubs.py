@@ -100,6 +100,33 @@ def test_synthesizer_api(tmp_path):
         synth.synthesize(["ok"], speaker="nobody")
 
 
+def test_synthesizer_phones_level_runs_g2p(tmp_path):
+    """Serving a phones-trained model must g2p the text first (the CLI
+    dataset path already does; a bare character encode would feed letters
+    to a phone-trained embedding). english_g2p('ab') yields IPA tokens
+    not present in the raw characters, so the encodings must differ."""
+    from fastspeech2_lightning_tpu.synthesis.api import Synthesizer
+    from fastspeech2_lightning_tpu.testing import stub_config
+
+    cfg = stub_config(target_text_representation_level="phones")
+    cfg.text.g2p_engines = {"default": "english"}  # bundled english rules
+    _, ckpt = get_stubbed_model(tmp_path / "m", config=cfg)
+    synth = Synthesizer.from_checkpoint(ckpt, max_frames=64)
+    r = synth.synthesize(["abc def"], vocode=False)
+    assert r.mels[0].ndim == 2
+    tp = synth.text_processor
+    from fastspeech2_lightning_tpu.text.g2p import english_g2p
+
+    expected_ids = tp.encode_tokens(
+        [t for t in english_g2p("abc def") if t in tp.symbol_to_id]
+    )
+    # durations come back per encoded token -> the model saw the g2p ids
+    assert len(r.durations[0]) == len(expected_ids)
+    assert expected_ids != tp.encode_text("abc def"), (
+        "phones ids must differ from raw character ids for this input"
+    )
+
+
 def test_synthesizer_long_form(tmp_path):
     from fastspeech2_lightning_tpu.synthesis.api import Synthesizer
 
