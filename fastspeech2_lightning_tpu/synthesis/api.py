@@ -138,6 +138,32 @@ class Synthesizer:
             self._predict_cache[key] = predict
         return self._predict_cache[key]
 
+    def _style_reference_mel(self, style_reference) -> np.ndarray:
+        """[T_ref, n_mels] log-mel for a style-reference wav path (cached
+        per path) or a precomputed array. No length padding: the GST
+        reference encoder (convs + GRU) is length-sensitive, so padding
+        would drift the style embedding vs the CLI path — one compile per
+        distinct reference length instead (references are few)."""
+        if isinstance(style_reference, np.ndarray):
+            ref = style_reference.astype(np.float32)
+        else:
+            key = str(style_reference)
+            if not hasattr(self, "_style_cache"):
+                self._style_cache: Dict[str, np.ndarray] = {}
+            if key not in self._style_cache:
+                from ..preprocessing.features import mel_spectrogram_numpy
+                from ..preprocessing.pipeline import load_wav
+
+                a = self.config.preprocessing.audio
+                audio = load_wav(Path(style_reference), a.input_sampling_rate)
+                self._style_cache[key] = mel_spectrogram_numpy(
+                    audio, a.input_sampling_rate, a.n_fft, a.fft_hop_size,
+                    a.fft_window_size, a.n_mels, a.f_min, a.f_max,
+                    a.spec_type,
+                ).T.astype(np.float32)
+            ref = self._style_cache[key]
+        return ref
+
     def synthesize(
         self,
         texts: List[str],
@@ -148,6 +174,7 @@ class Synthesizer:
         duration_control: float = 1.0,
         adaptive_max_frames: bool = True,
         vocode: bool = True,
+        style_reference=None,
     ) -> SynthesisResult:
         """adaptive_max_frames: run the forward at a text-length-derived
         128-multiple frame bucket instead of always max_frames (the decoder,
@@ -193,6 +220,18 @@ class Synthesizer:
             "speaker_id": np.full(B, spk_id, dtype=np.int32),
             "language_id": np.full(B, lang_id, dtype=np.int32),
         }
+        if style_reference is not None:
+            # GST conditioning on a reference wav (CLI --style-reference
+            # parity; fs2/cli/synthesize.py:289-311)
+            if not self.config.model.use_global_style_token_module:
+                raise ValueError(
+                    "style_reference requires a model trained with "
+                    "model.use_global_style_token_module"
+                )
+            ref = self._style_reference_mel(style_reference)
+            batch["mel_style_reference"] = np.broadcast_to(
+                ref[None], (B, *ref.shape)
+            ).copy()
         ctrl = {
             "pitch": np.float32(pitch_control),
             "energy": np.float32(energy_control),
@@ -206,10 +245,11 @@ class Synthesizer:
             n_data = self.mesh.shape["data"]
             pad_rows = _round_up(B, n_data) - B
             if pad_rows:
-                for k in ("text", "src_lens", "speaker_id", "language_id"):
-                    batch[k] = np.concatenate(
-                        [batch[k], np.repeat(batch[k][:1], pad_rows, axis=0)]
-                    )
+                for k, v in batch.items():
+                    if v is not None:  # every per-row array pads together
+                        batch[k] = np.concatenate(
+                            [v, np.repeat(v[:1], pad_rows, axis=0)]
+                        )
             batch = shard_batch(batch, self.mesh)
         cap = int(self.max_frames)
         # ~12 frames/symbol upper estimate (English @ 22.05 kHz / 256 hop is

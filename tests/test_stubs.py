@@ -127,6 +127,38 @@ def test_synthesizer_phones_level_runs_g2p(tmp_path):
     )
 
 
+def test_synthesizer_style_reference(tmp_path):
+    """GST style conditioning through the resident API (CLI
+    --style-reference parity): a reference wav shifts the output, and a
+    non-GST model rejects the argument."""
+    import pytest
+
+    from fastspeech2_lightning_tpu.preprocessing.pipeline import save_wav
+    from fastspeech2_lightning_tpu.synthesis.api import Synthesizer
+    from fastspeech2_lightning_tpu.testing import stub_config
+
+    sr = 22050
+    t = np.arange(sr // 2) / sr
+    ref_wav = tmp_path / "ref.wav"
+    save_wav(ref_wav, (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32), sr)
+
+    cfg = stub_config(use_global_style_token_module=True)
+    _, ckpt = get_stubbed_model(tmp_path / "m", config=cfg)
+    synth = Synthesizer.from_checkpoint(ckpt, max_frames=64)
+    base = synth.synthesize(["hello"], vocode=False)
+    styled = synth.synthesize(["hello"], vocode=False, style_reference=ref_wav)
+    assert styled.mels[0].shape[1] == base.mels[0].shape[1]
+    # GST conditioning must actually change the output
+    n = min(styled.mels[0].shape[0], base.mels[0].shape[0])
+    if n:
+        assert not np.allclose(styled.mels[0][:n], base.mels[0][:n])
+
+    _, ckpt_plain = get_stubbed_model(tmp_path / "plain")
+    plain = Synthesizer.from_checkpoint(ckpt_plain, max_frames=64)
+    with pytest.raises(ValueError, match="use_global_style_token_module"):
+        plain.synthesize(["hello"], style_reference=ref_wav)
+
+
 def test_synthesizer_long_form(tmp_path):
     from fastspeech2_lightning_tpu.synthesis.api import Synthesizer
 
