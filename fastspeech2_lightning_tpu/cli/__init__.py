@@ -568,9 +568,15 @@ def average_checkpoints_cmd(ckpt_dir: Path, output: Path, last, use_ema):
     help="Pre-compile every serving shape bucket before accepting requests "
     "(with the persistent compile cache, restarts warm from disk).",
 )
+@click.option(
+    "--style-reference", "-S",
+    type=click.Path(exists=True, path_type=Path), default=None,
+    help="GST style-reference wav applied to every request (the model must "
+    "be trained with the global-style-token module).",
+)
 def serve_cmd(model_path, vocoder_path, host, port, max_batch,
               batch_window_ms, max_frames, use_ema, vocoder_precision,
-              data_parallel, warmup):
+              data_parallel, warmup, style_reference):
     from ..serving import serve
     from ..utils.compile_cache import enable_persistent_cache
 
@@ -580,7 +586,7 @@ def serve_cmd(model_path, vocoder_path, host, port, max_batch,
         max_batch=max_batch, batch_window_ms=batch_window_ms,
         max_frames=max_frames, use_ema=use_ema,
         vocoder_precision=vocoder_precision, data_parallel=data_parallel,
-        warmup=warmup,
+        warmup=warmup, style_reference=style_reference,
     )
     click.echo(f"serving on http://{server.address[0]}:{server.address[1]}")
     try:

@@ -125,8 +125,10 @@ class _Batcher:
     `max_batch` rows (fixed compiled shape) and runs ONE predict call."""
 
     def __init__(self, synthesizer, max_batch: int = 8,
-                 batch_window_ms: float = 5.0, stats: Optional[_Stats] = None):
+                 batch_window_ms: float = 5.0, stats: Optional[_Stats] = None,
+                 style_reference=None):
         self.synthesizer = synthesizer
+        self.style_reference = style_reference
         self.max_batch = max_batch
         self.batch_window = batch_window_ms / 1000.0
         self.stats = stats or _Stats()
@@ -175,6 +177,10 @@ class _Batcher:
                 texts.append(texts[0])
             language, speaker, pitch, energy, duration = group[0].key
             t0 = time.time()
+            extra = (
+                {"style_reference": self.style_reference}
+                if self.style_reference is not None else {}
+            )
             try:
                 result = self.synthesizer.synthesize(
                     texts,
@@ -183,6 +189,7 @@ class _Batcher:
                     pitch_control=pitch,
                     energy_control=energy,
                     duration_control=duration,
+                    **extra,
                 )
                 self.stats.record_batch(
                     len(group), self.max_batch, time.time() - t0
@@ -204,12 +211,14 @@ class SynthesisServer:
 
     def __init__(self, synthesizer, host: str = "127.0.0.1", port: int = 8777,
                  max_batch: int = 8, batch_window_ms: float = 5.0,
-                 global_step: int = 0):
+                 global_step: int = 0, style_reference=None):
         self.synthesizer = synthesizer
         self.global_step = global_step
+        self.style_reference = style_reference
         self.stats = _Stats()
         self.batcher = _Batcher(
-            synthesizer, max_batch, batch_window_ms, stats=self.stats
+            synthesizer, max_batch, batch_window_ms, stats=self.stats,
+            style_reference=style_reference,
         )
         handler = self._make_handler()
         self.httpd = ThreadingHTTPServer((host, port), handler)
@@ -342,6 +351,8 @@ class SynthesisServer:
                         energy_control=float(req.get("energy", 1.0)),
                         duration_control=float(req.get("duration", 1.0)),
                     )
+                    if server.style_reference is not None:
+                        syn_kwargs["style_reference"] = server.style_reference
                     try:
                         gen = syn.synthesize_stream(
                             text,
@@ -446,6 +457,7 @@ def serve(
     vocoder_precision: str = "float32",
     data_parallel: Optional[int] = None,
     warmup: bool = False,
+    style_reference=None,
 ) -> SynthesisServer:
     """Load once, jit once, serve. Returns the (not yet started) server.
 
@@ -466,6 +478,7 @@ def serve(
             "--use-ema": use_ema or None,
             "--data-parallel": data_parallel,
             "--max-frames": max_frames,
+            "--style-reference": style_reference,
         }
         bad = [k for k, v in rejected.items() if v]
         if bad:
@@ -497,4 +510,5 @@ def serve(
     return SynthesisServer(
         syn, host=host, port=port, max_batch=max_batch,
         batch_window_ms=batch_window_ms, global_step=step,
+        style_reference=style_reference,
     )

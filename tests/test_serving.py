@@ -130,6 +130,44 @@ def test_error_paths(server):
         assert raised, payload
 
 
+def test_serve_style_reference(tmp_path):
+    """serve(--style-reference): GST conditioning applied to every request;
+    output differs from the unstyled server for the same text."""
+    from fastspeech2_lightning_tpu.preprocessing.pipeline import save_wav
+    from fastspeech2_lightning_tpu.serving.server import serve
+    from fastspeech2_lightning_tpu.testing import stub_config
+
+    sr = 22050
+    t = np.arange(sr // 2) / sr
+    ref = tmp_path / "ref.wav"
+    save_wav(ref, (0.3 * np.sin(2 * np.pi * 330 * t)).astype(np.float32), sr)
+    cfg = stub_config(use_global_style_token_module=True)
+    _, ckpt = get_stubbed_model(tmp_path / "m", config=cfg)
+
+    def fetch_mel(srv):
+        with _post(srv, {"text": "hello", "format": "mel"}) as r:
+            from io import BytesIO
+
+            return np.load(BytesIO(r.read()))
+
+    srv_plain = serve(ckpt, port=0, max_batch=2, max_frames=64)
+    srv_plain.start()
+    try:
+        plain = fetch_mel(srv_plain)
+    finally:
+        srv_plain.shutdown()
+    srv_styled = serve(
+        ckpt, port=0, max_batch=2, max_frames=64, style_reference=ref
+    )
+    srv_styled.start()
+    try:
+        styled = fetch_mel(srv_styled)
+    finally:
+        srv_styled.shutdown()
+    n = min(len(plain), len(styled))
+    assert n == 0 or not np.allclose(plain[:n], styled[:n])
+
+
 def test_pcm16_and_header_helpers():
     hdr = wav_stream_header(16000)
     assert len(hdr) == 44
