@@ -1,6 +1,5 @@
 """`fs2t doctor` diagnostics (cli/doctor.py)."""
 
-from pathlib import Path
 
 from fastspeech2_lightning_tpu.cli.doctor import (
     FAIL,

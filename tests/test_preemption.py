@@ -6,7 +6,6 @@ checkpoint and exit 0 so the restart resumes at the same step."""
 import os
 import signal
 
-import pytest
 
 from fastspeech2_lightning_tpu.training.preemption import (
     install_preemption_handler,
