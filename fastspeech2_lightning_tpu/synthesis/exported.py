@@ -312,6 +312,13 @@ class ExportedSynthesizer:
                 dict(np.load(io.BytesIO(self._zip.read("vocoder_params.npz"))))
             )
         self._calls: Dict[str, Any] = {}
+        # the server touches this object from several threads (micro-batcher
+        # + low-latency request handlers); zipfile reads share one file
+        # handle and are NOT thread-safe, so blob loading/deserialization is
+        # serialized. Executing the jitted calls afterwards is thread-safe.
+        import threading
+
+        self._lock = threading.Lock()
 
     # -- server-facing surface (serving/server.py duck-types these) ---------
 
@@ -415,14 +422,18 @@ class ExportedSynthesizer:
     # -- program lookup -----------------------------------------------------
 
     def _call(self, file: str):
-        if file not in self._calls:
-            import jax
-            from jax import export as jexport
+        fn = self._calls.get(file)
+        if fn is None:
+            with self._lock:
+                fn = self._calls.get(file)
+                if fn is None:
+                    import jax
+                    from jax import export as jexport
 
-            exp = jexport.deserialize(self._zip.read(file))
-            # jit gives standard call-site caching for repeat requests
-            self._calls[file] = jax.jit(exp.call)
-        return self._calls[file]
+                    exp = jexport.deserialize(self._zip.read(file))
+                    # jit gives standard call-site caching for repeats
+                    fn = self._calls[file] = jax.jit(exp.call)
+        return fn
 
     def _pick_acoustic(self, B: int, L: int, min_T: int = 0) -> dict:
         """Smallest covering (B', L', T') program."""
