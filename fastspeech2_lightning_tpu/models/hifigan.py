@@ -509,18 +509,27 @@ def make_parallel_vocoder_fn(
 
         return jax.jit(fn)
 
-    def device_fn(mel_dev):
-        B, T = int(mel_dev.shape[0]), int(mel_dev.shape[1])
+    def device_fn(mel_dev, n_real: Optional[int] = None):
+        """n_real: number of REAL rows when the caller padded the batch to
+        fill the mesh (Synthesizer pads to a multiple of the data axis with
+        duplicate rows before predict) — without it a padded single long
+        request looks like B == n_dev and would take the plain path,
+        wasting every device on a duplicate instead of window-splitting."""
+        B = int(n_real) if n_real else int(mel_dev.shape[0])
+        T = int(mel_dev.shape[1])
         mel_dev = mel_dev.astype(in_dt)
         if B >= n_dev:
-            # enough rows to occupy every device as plain data parallelism —
-            # skip the window split and its 2*margin recompute overhead
+            # enough real rows to occupy every device as plain data
+            # parallelism — skip the window split and its 2*margin
+            # recompute overhead
             return plain(params, mel_dev)
         key = (B, T)
         if key not in _cache:
             _cache[key] = _windowed(B, T)
         fn = _cache[key]
-        return plain(params, mel_dev) if fn is None else fn(params, mel_dev)
+        if fn is None:
+            return plain(params, mel_dev)
+        return fn(params, mel_dev[:B])
 
     def vocoder(mel: np.ndarray):
         wav = np.asarray(
@@ -532,4 +541,5 @@ def make_parallel_vocoder_fn(
     vocoder.sample_rate = config.sampling_rate
     vocoder.hop = hop
     vocoder.receptive_margin_frames = margin
+    vocoder._window_cache = _cache  # observability: which (B,T) windowed
     return vocoder

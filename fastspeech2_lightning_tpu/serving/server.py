@@ -248,27 +248,10 @@ class SynthesisServer:
     # -- request handling -------------------------------------------------
 
     def _chunks_for(self, text: str, language: Optional[str]) -> List[str]:
-        from ..config import DatasetTextRepresentation
-        from ..synthesis.prepare import get_text_split_params
-        from ..text.textsplit import chunk_text
+        from ..synthesis.prepare import chunk_text_for_model
 
         syn = self.synthesizer
-        if not syn.config.text.split_text:
-            return [text]
-        # derive split-length stats from the model's trained representation
-        # (phone-trained models must not chunk by character-length stats)
-        from ..config import TargetTrainingTextRepresentationLevel
-
-        level = syn.config.model.target_text_representation_level
-        representation = (
-            DatasetTextRepresentation.characters
-            if level == TargetTrainingTextRepresentationLevel.characters
-            else DatasetTextRepresentation.ipa_phones
-        )
-        desired, maxi, strong, weak = get_text_split_params(
-            syn.stats, representation, syn.config, language,
-        )
-        return chunk_text(text, desired, maxi, strong, weak) or [text]
+        return chunk_text_for_model(text, language, syn.config, syn.stats)
 
     def _make_handler(self):
         server = self
@@ -479,6 +462,9 @@ def serve(
             "--data-parallel": data_parallel,
             "--max-frames": max_frames,
             "--style-reference": style_reference,
+            "--vocoder-precision": (
+                None if vocoder_precision == "float32" else vocoder_precision
+            ),
         }
         bad = [k for k, v in rejected.items() if v]
         if bad:

@@ -185,16 +185,10 @@ class Synthesizer:
         Costs one jit compile per occupied bucket (first hit only)."""
         from .prepare import encode_texts_for_model
 
-        if not hasattr(self, "_encode_cache"):
-            self._encode_cache = {}
-        encoded = encode_texts_for_model(
-            texts, language, self.config, self.text_processor,
-            self._encode_cache,
-        )
-        if any(len(e) == 0 for e in encoded):
-            raise ValueError("one or more inputs contain no known symbols")
         # reference CLI semantics (fs2/cli/synthesize.py:28-72): unknown
-        # names error instead of silently conditioning on id 0
+        # names error instead of silently conditioning on id 0. Validate
+        # BEFORE encoding: a phones model would otherwise g2p with the
+        # fallback engine for the unknown language and raise the wrong error
         if language is not None and language not in self.lang2id:
             raise ValueError(
                 f"unknown language {language!r}; available: "
@@ -205,6 +199,14 @@ class Synthesizer:
                 f"unknown speaker {speaker!r}; available: "
                 f"{sorted(self.speaker2id) or ['<none>']}"
             )
+        if not hasattr(self, "_encode_cache"):
+            self._encode_cache = {}
+        encoded = encode_texts_for_model(
+            texts, language, self.config, self.text_processor,
+            self._encode_cache,
+        )
+        if any(len(e) == 0 for e in encoded):
+            raise ValueError("one or more inputs contain no known symbols")
         B = len(encoded)
         L = _round_up(max(len(e) for e in encoded), PAD_MULT_TEXT)
         text = np.zeros((B, L), dtype=np.int32)
@@ -286,7 +288,14 @@ class Synthesizer:
             )
             device_fn = getattr(self.vocoder, "device_fn", None)
             if device_fn is not None:
-                wav_dev = device_fn(out[key][:, :t_need])
+                if self.mesh is not None:
+                    # tell the mesh-aware vocoder how many rows are REAL:
+                    # the batch was padded with duplicates to fill the data
+                    # axis, and a padded long single request should window-
+                    # split the frame axis, not vocode n_dev duplicates
+                    wav_dev = device_fn(out[key][:, :t_need], n_real=B)
+                else:
+                    wav_dev = device_fn(out[key][:, :t_need])
             else:
                 wav_dev, _ = self.vocoder(np.asarray(out[key])[:, :t_need])
 
@@ -307,7 +316,13 @@ class Synthesizer:
                 self.vocoder, "sample_rate",
                 self.config.preprocessing.audio.output_sampling_rate,
             )
-            hop = self.config.preprocessing.audio.fft_hop_size
+            # samples per mel frame = the GENERATOR's total upsampling (an
+            # output-rate-upsampling vocoder emits more than fft_hop_size
+            # samples per frame; trimming by the analysis hop would truncate)
+            hop = int(getattr(
+                self.vocoder, "hop",
+                self.config.preprocessing.audio.fft_hop_size,
+            ))
             wav_host = np.asarray(wav_host, dtype=np.float32)
             wavs = [wav_host[i, : lens[i] * hop] for i in range(B)]
         return SynthesisResult(
@@ -387,27 +402,9 @@ class Synthesizer:
         return n
 
     def _chunk_text(self, text: str, language: Optional[str]) -> List[str]:
-        from ..config import (
-            DatasetTextRepresentation,
-            TargetTrainingTextRepresentationLevel,
-        )
-        from ..text.textsplit import chunk_text
-        from .prepare import get_text_split_params
+        from .prepare import chunk_text_for_model
 
-        level = self.config.model.target_text_representation_level
-        representation = (
-            DatasetTextRepresentation.characters
-            if level == TargetTrainingTextRepresentationLevel.characters
-            else DatasetTextRepresentation.ipa_phones
-        )
-        desired, maxi, strong, weak = get_text_split_params(
-            self.stats, representation, self.config, language,
-        )
-        return (
-            chunk_text(text, desired, maxi, strong, weak)
-            if self.config.text.split_text
-            else [text]
-        )
+        return chunk_text_for_model(text, language, self.config, self.stats)
 
     def synthesize_stream(
         self,

@@ -69,7 +69,9 @@ def _flatten_tree(tree) -> Dict[str, np.ndarray]:
             key = getattr(entry, "key", getattr(entry, "idx", None))
             keys.append(str(key))
         name = _SEP.join(keys)
-        if any(_SEP in k for k in keys[:-1]) or name in flat:
+        # any separator inside a key segment (leaf included) would mis-nest
+        # on _unflatten_tree — fail at export, not at first call in serving
+        if any(_SEP in k for k in keys) or name in flat:
             raise ValueError(f"cannot flatten param path {path!r} uniquely")
         flat[name] = np.asarray(leaf)
     return flat
@@ -378,11 +380,19 @@ class ExportedSynthesizer:
         for i, mel in enumerate(result.mels):
             T = mel.shape[0]
             if T <= W:
-                # too short to window: the bucketed wav path (identical to
-                # this artifact's synthesize output for the same text)
-                r = self.synthesize([chunks[i]], **kwargs)
-                if r.wavs is not None:
-                    yield r.wavs[0]
+                # too short to window: vocode the ALREADY-COMPUTED mel
+                # through the bucketed program (no second acoustic forward),
+                # padded to the program's exact (B, T) shape
+                ventry = self._pick_vocoder(1, max(T, 1))
+                mel_in = np.zeros(
+                    (ventry["B"], ventry["T"], mel.shape[1]), dtype=np.float32
+                )
+                mel_in[0, :T] = mel
+                wav = np.asarray(
+                    self._call(ventry["file"])(self.vocoder_params, mel_in),
+                    dtype=np.float32,
+                )[0]
+                yield wav[: T * hop]
                 continue
             for start in range(0, T, window):
                 end = min(start + window, T)
@@ -474,14 +484,8 @@ class ExportedSynthesizer:
 
         from .prepare import encode_texts_for_model
 
-        if not hasattr(self, "_encode_cache"):
-            self._encode_cache = {}
-        encoded = encode_texts_for_model(
-            texts, language, self.config, self.text_processor,
-            self._encode_cache,
-        )
-        if any(len(e) == 0 for e in encoded):
-            raise ValueError("one or more inputs contain no known symbols")
+        # validate names BEFORE encoding (wrong-error ordering otherwise —
+        # see Synthesizer.synthesize)
         if language is not None and language not in self.lang2id:
             raise ValueError(
                 f"unknown language {language!r}; available: "
@@ -492,6 +496,14 @@ class ExportedSynthesizer:
                 f"unknown speaker {speaker!r}; available: "
                 f"{sorted(self.speaker2id) or ['<none>']}"
             )
+        if not hasattr(self, "_encode_cache"):
+            self._encode_cache = {}
+        encoded = encode_texts_for_model(
+            texts, language, self.config, self.text_processor,
+            self._encode_cache,
+        )
+        if any(len(e) == 0 for e in encoded):
+            raise ValueError("one or more inputs contain no known symbols")
         B = len(encoded)
         max_B = max(e["B"] for e in self.meta["acoustic"])
         if B > max_B:
@@ -577,7 +589,10 @@ class ExportedSynthesizer:
         sr = None
         if wav_host is not None:
             sr = self.meta["vocoder_meta"]["sampling_rate"]
-            hop = self.meta["hop"]
+            # samples per mel frame = the GENERATOR's total upsampling, not
+            # the analysis fft_hop_size (they differ for output-rate-
+            # upsampling vocoders; trimming by the analysis hop truncates)
+            hop = self.meta["vocoder_meta"]["hop"]
             wav_host = np.asarray(wav_host, dtype=np.float32)
             wavs = [wav_host[i, : lens[i] * hop] for i in range(B)]
         return SynthesisResult(
@@ -585,27 +600,9 @@ class ExportedSynthesizer:
         )
 
     def _chunk_long_text(self, text: str, language=None) -> List[str]:
-        from ..config import (
-            DatasetTextRepresentation,
-            TargetTrainingTextRepresentationLevel,
-        )
-        from ..text.textsplit import chunk_text
-        from .prepare import get_text_split_params
+        from .prepare import chunk_text_for_model
 
-        level = self.config.model.target_text_representation_level
-        representation = (
-            DatasetTextRepresentation.characters
-            if level == TargetTrainingTextRepresentationLevel.characters
-            else DatasetTextRepresentation.ipa_phones
-        )
-        desired, maxi, strong, weak = get_text_split_params(
-            self.stats, representation, self.config, language,
-        )
-        return (
-            chunk_text(text, desired, maxi, strong, weak)
-            if self.config.text.split_text
-            else [text]
-        )
+        return chunk_text_for_model(text, language, self.config, self.stats)
 
     def synthesize_long(self, text: str, **kwargs) -> SynthesisResult:
         """Chunk at the corpus-informed boundaries (fs2 chunking semantics,

@@ -67,6 +67,37 @@ def get_text_split_params(
     return desired, maxi, strong, weak
 
 
+def chunk_text_for_model(
+    text: str,
+    language: Optional[str],
+    config,
+    stats,
+) -> List[str]:
+    """Chunk long input at corpus-informed boundaries, deriving split stats
+    from the MODEL's text representation (phone-length stats for
+    phones-trained models, character-length otherwise) — the single
+    implementation behind Synthesizer, ExportedSynthesizer, and the HTTP
+    server. Returns [text] when chunking is disabled or nothing splits."""
+    from ..config import (
+        DatasetTextRepresentation,
+        TargetTrainingTextRepresentationLevel,
+    )
+    from ..text.textsplit import chunk_text
+
+    if not config.text.split_text:
+        return [text]
+    level = config.model.target_text_representation_level
+    representation = (
+        DatasetTextRepresentation.characters
+        if level == TargetTrainingTextRepresentationLevel.characters
+        else DatasetTextRepresentation.ipa_phones
+    )
+    desired, maxi, strong, weak = get_text_split_params(
+        stats, representation, config, language
+    )
+    return chunk_text(text, desired, maxi, strong, weak) or [text]
+
+
 def encode_texts_for_model(
     texts: List[str],
     language: Optional[str],

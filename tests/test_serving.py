@@ -150,7 +150,15 @@ def test_serve_style_reference(tmp_path):
 
             return np.load(BytesIO(r.read()))
 
+    def bias_durations(srv):
+        # the random stub predicts logd < 0 (zero frames -> vacuous mels);
+        # bias the duration head positive so mels have content to compare
+        srv.synthesizer.variables["params"]["variance_adaptor"][
+            "duration_predictor"
+        ]["linear"]["bias"] += 1.0
+
     srv_plain = serve(ckpt, port=0, max_batch=2, max_frames=64)
+    bias_durations(srv_plain)
     srv_plain.start()
     try:
         plain = fetch_mel(srv_plain)
@@ -159,13 +167,15 @@ def test_serve_style_reference(tmp_path):
     srv_styled = serve(
         ckpt, port=0, max_batch=2, max_frames=64, style_reference=ref
     )
+    bias_durations(srv_styled)
     srv_styled.start()
     try:
         styled = fetch_mel(srv_styled)
     finally:
         srv_styled.shutdown()
     n = min(len(plain), len(styled))
-    assert n == 0 or not np.allclose(plain[:n], styled[:n])
+    assert n > 0, "stub produced an empty mel — styled/unstyled incomparable"
+    assert not np.allclose(plain[:n], styled[:n])
 
 
 def test_pcm16_and_header_helpers():

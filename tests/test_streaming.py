@@ -169,6 +169,37 @@ def test_parallel_vocoder_matches_single_device(shape):
     np.testing.assert_allclose(wav, full, atol=2e-5)
 
 
+def test_mesh_synthesizer_engages_window_parallel_vocoder(tmp_path):
+    """Through the REAL serving path (Synthesizer with a data mesh), a
+    single long request must window-split the vocoder — the mesh padding
+    (duplicate rows to fill the data axis) must not disguise B=1 as a full
+    batch. Output stays identical to the meshless synthesizer."""
+    import numpy as np
+
+    from fastspeech2_lightning_tpu.synthesis.api import Synthesizer
+    from fastspeech2_lightning_tpu.testing import (
+        get_stubbed_model,
+        get_stubbed_vocoder,
+    )
+
+    _m, ckpt = get_stubbed_model(tmp_path / "m")
+    _v, voc = get_stubbed_vocoder(tmp_path / "v")
+    text = ["window parallel engagement check"]
+    kwargs = dict(duration_control=30.0, vocode=True)  # force a long mel
+    syn_dp = Synthesizer.from_checkpoint(
+        ckpt, vocoder_path=voc, data_parallel=8, max_frames=512
+    )
+    r_dp = syn_dp.synthesize(text, **kwargs)
+    cache = getattr(syn_dp.vocoder, "_window_cache", {})
+    assert any(b == 1 for (b, _t) in cache), (
+        f"window-parallel path never engaged for B=1 (cache: {list(cache)})"
+    )
+    syn_1 = Synthesizer.from_checkpoint(ckpt, vocoder_path=voc, max_frames=512)
+    r_1 = syn_1.synthesize(text, **kwargs)
+    assert r_dp.wavs[0].shape == r_1.wavs[0].shape
+    np.testing.assert_allclose(r_dp.wavs[0], r_1.wavs[0], atol=2e-5)
+
+
 def test_parallel_vocoder_short_mel_plain_path(monkeypatch):
     """T too short to split must fall back to one plain call (and still
     match the generator exactly)."""

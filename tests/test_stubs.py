@@ -145,13 +145,19 @@ def test_synthesizer_style_reference(tmp_path):
     cfg = stub_config(use_global_style_token_module=True)
     _, ckpt = get_stubbed_model(tmp_path / "m", config=cfg)
     synth = Synthesizer.from_checkpoint(ckpt, max_frames=64)
+    # the random stub's duration head predicts logd < 0 for every token
+    # (zero frames — a vacuous comparison); bias it positive so the test
+    # compares real mel content
+    synth.variables["params"]["variance_adaptor"]["duration_predictor"][
+        "linear"
+    ]["bias"] += 1.0
     base = synth.synthesize(["hello"], vocode=False)
     styled = synth.synthesize(["hello"], vocode=False, style_reference=ref_wav)
     assert styled.mels[0].shape[1] == base.mels[0].shape[1]
     # GST conditioning must actually change the output
     n = min(styled.mels[0].shape[0], base.mels[0].shape[0])
-    if n:
-        assert not np.allclose(styled.mels[0][:n], base.mels[0][:n])
+    assert n > 0, "stub produced an empty mel — styled/base incomparable"
+    assert not np.allclose(styled.mels[0][:n], base.mels[0][:n])
 
     _, ckpt_plain = get_stubbed_model(tmp_path / "plain")
     plain = Synthesizer.from_checkpoint(ckpt_plain, max_frames=64)
