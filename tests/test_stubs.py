@@ -127,6 +127,48 @@ def test_synthesizer_phones_level_runs_g2p(tmp_path):
     )
 
 
+def test_synthesizer_upsampling_vocoder_hop(tmp_path):
+    """A vocoder whose total upsampling != the analysis fft_hop_size (an
+    output-rate-upsampling generator, e.g. 44.1 kHz audio from 22.05 kHz
+    mels) must get lens * GENERATOR-hop samples per utterance — trimming
+    by the analysis hop truncated the wav to half its duration."""
+    import jax
+
+    from fastspeech2_lightning_tpu.models.hifigan import (
+        HiFiGANConfig,
+        init_random_hifigan,
+    )
+    from fastspeech2_lightning_tpu.synthesis.api import Synthesizer
+    from fastspeech2_lightning_tpu.testing import dataclass_to_dict
+
+    voc_cfg = HiFiGANConfig(
+        upsample_rates=(8, 8, 2, 2, 2),  # 512 = 2x the 256 analysis hop
+        upsample_kernel_sizes=(16, 16, 4, 4, 4),
+        upsample_initial_channel=32,
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+        n_mels=20,
+        sampling_rate=44100,
+    )
+    assert voc_cfg.total_upsampling == 512
+    params = init_random_hifigan(voc_cfg)
+    voc_path = tmp_path / "up_vocoder.npz"
+    np.savez(
+        voc_path,
+        params=np.array(
+            jax.tree_util.tree_map(np.asarray, params), dtype=object
+        ),
+        config=np.array(dataclass_to_dict(voc_cfg), dtype=object),
+    )
+    _, ckpt = get_stubbed_model(tmp_path / "m")
+    synth = Synthesizer.from_checkpoint(
+        ckpt, vocoder_path=voc_path, max_frames=64
+    )
+    r = synth.synthesize(["hello world"])
+    assert r.sample_rate == 44100
+    assert r.wavs[0].shape[0] == r.mels[0].shape[0] * 512
+
+
 def test_synthesizer_style_reference(tmp_path):
     """GST style conditioning through the resident API (CLI
     --style-reference parity): a reference wav shifts the output, and a
