@@ -336,10 +336,26 @@ class SynthesisServer:
                     )
                     if server.style_reference is not None:
                         syn_kwargs["style_reference"] = server.style_reference
+                    # quantize the client-supplied window to a bounded
+                    # shape set: every distinct window is a distinct
+                    # compiled vocoder slice, and untrusted input must not
+                    # drive unbounded request-path compiles
+                    try:
+                        window = int(req.get("window", 128))
+                    except (TypeError, ValueError):
+                        self._json(400, {"error": "window must be an int"})
+                        return
+                    if not 1 <= window <= 1024:
+                        self._json(
+                            400,
+                            {"error": "window must be in [1, 1024] frames"},
+                        )
+                        return
+                    window = max(64, min(1024, 64 * -(-window // 64)))
                     try:
                         gen = syn.synthesize_stream(
                             text,
-                            window=int(req.get("window", 128)),
+                            window=window,
                             **syn_kwargs,
                         )
                         first = next(gen)

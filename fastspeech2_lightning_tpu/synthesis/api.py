@@ -349,12 +349,18 @@ class Synthesizer:
         """
         cap = int(self.max_frames)
         if text_buckets is None:
-            from ..config import DatasetTextRepresentation
-            from .prepare import get_text_split_params
+            from .prepare import (
+                get_text_split_params,
+                representation_for_model,
+            )
 
             try:
+                # derive buckets from the MODEL's representation stats —
+                # phone-trained models chunk by phone-length stats, and
+                # warming character-derived buckets would miss the shapes
+                # the serving splitter actually emits
                 _, maxi, _, _ = get_text_split_params(
-                    self.stats, DatasetTextRepresentation.characters,
+                    self.stats, representation_for_model(self.config),
                     self.config, None,
                 )
             except Exception:
@@ -366,18 +372,23 @@ class Synthesizer:
             "energy": np.float32(1.0),
             "duration": np.float32(1.0),
         }
+        # synthesize() pads request rows to a multiple of the mesh's data
+        # axis — warm the shapes REQUESTS use, not the raw batch_size
+        eff_batch = batch_size
+        if self.mesh is not None:
+            eff_batch = _round_up(batch_size, self.mesh.shape["data"])
         n = 0
         frame_buckets = set()
         for L in sorted(set(int(b) for b in text_buckets)):
             est = min(cap, _round_up(12 * L, 128))
             frame_buckets.add(est)
             batch = {
-                "text": np.ones((batch_size, L), dtype=np.int32),
-                "src_lens": np.full(batch_size, L, dtype=np.int32),
+                "text": np.ones((eff_batch, L), dtype=np.int32),
+                "src_lens": np.full(eff_batch, L, dtype=np.int32),
                 "mel": None,
                 "mel_lens": None,
-                "speaker_id": np.zeros(batch_size, dtype=np.int32),
-                "language_id": np.zeros(batch_size, dtype=np.int32),
+                "speaker_id": np.zeros(eff_batch, dtype=np.int32),
+                "language_id": np.zeros(eff_batch, dtype=np.int32),
             }
             if self.mesh is not None:
                 from ..parallel.mesh import shard_batch
@@ -391,11 +402,14 @@ class Synthesizer:
             # largest acoustic bucket just compiled
             for t in range(128, max(frame_buckets) + 1, 128):
                 mel = np.zeros(
-                    (batch_size, t, self.config.preprocessing.audio.n_mels),
+                    (eff_batch, t, self.config.preprocessing.audio.n_mels),
                     dtype=np.float32,
                 )
                 if device_fn is not None:
-                    device_fn(mel)
+                    if self.mesh is not None:
+                        device_fn(mel, n_real=batch_size)
+                    else:
+                        device_fn(mel)
                 else:
                     self.vocoder(mel)
                 n += 1

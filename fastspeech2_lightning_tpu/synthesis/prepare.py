@@ -67,6 +67,22 @@ def get_text_split_params(
     return desired, maxi, strong, weak
 
 
+def representation_for_model(config) -> "DatasetTextRepresentation":
+    """The DatasetTextRepresentation whose corpus length stats match the
+    model's trained representation (phone stats for phones/pfs models)."""
+    from ..config import (
+        DatasetTextRepresentation,
+        TargetTrainingTextRepresentationLevel,
+    )
+
+    level = config.model.target_text_representation_level
+    return (
+        DatasetTextRepresentation.characters
+        if level == TargetTrainingTextRepresentationLevel.characters
+        else DatasetTextRepresentation.ipa_phones
+    )
+
+
 def chunk_text_for_model(
     text: str,
     language: Optional[str],
@@ -78,22 +94,10 @@ def chunk_text_for_model(
     phones-trained models, character-length otherwise) — the single
     implementation behind Synthesizer, ExportedSynthesizer, and the HTTP
     server. Returns [text] when chunking is disabled or nothing splits."""
-    from ..config import (
-        DatasetTextRepresentation,
-        TargetTrainingTextRepresentationLevel,
-    )
-    from ..text.textsplit import chunk_text
-
     if not config.text.split_text:
         return [text]
-    level = config.model.target_text_representation_level
-    representation = (
-        DatasetTextRepresentation.characters
-        if level == TargetTrainingTextRepresentationLevel.characters
-        else DatasetTextRepresentation.ipa_phones
-    )
     desired, maxi, strong, weak = get_text_split_params(
-        stats, representation, config, language
+        stats, representation_for_model(config), config, language
     )
     return chunk_text(text, desired, maxi, strong, weak) or [text]
 

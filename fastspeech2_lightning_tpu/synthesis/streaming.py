@@ -62,7 +62,15 @@ def windowed_vocode(
         return wav
 
     if T <= W:
-        yield _run(mel)[: T * hop]
+        # short mel: pad to a 32-frame bucket so serving compiles a BOUNDED
+        # shape set instead of one program per distinct short length (the
+        # batch wav path buckets identically). Outputs whose receptive
+        # field stays inside the real frames are exact; the final `margin`
+        # frames see pad context — same semantics as bucketed serving.
+        Tb = min(W, 32 * -(-T // 32))
+        pad = Tb - T
+        mel_in = np.pad(mel, ((0, pad), (0, 0))) if pad else mel
+        yield _run(mel_in)[: T * hop]
         return
 
     for start in range(0, T, window):

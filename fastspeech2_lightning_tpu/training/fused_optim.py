@@ -187,6 +187,11 @@ def convert_opt_state(restored, target_template, params):
                         mu=unravel(jnp.asarray(src_fused.mu)),
                         nu=unravel(jnp.asarray(src_fused.nu)),
                     )
+                if set(node._fields) == {"count"}:
+                    # ScaleByScheduleState: the Noam LR schedule's step
+                    # counter — without this a fused->per-leaf resume
+                    # restarts LR warmup from 0 at full Adam moments
+                    return type(node)(count=jnp.asarray(src_fused.count))
                 return type(node)(
                     *[replace_adam(getattr(node, f)) for f in node._fields]
                 )

@@ -233,7 +233,14 @@ class Trainer:
             rng = jax.random.key(
                 config.training.seed, impl=config.training.prng_impl
             )
-        except Exception:
+        except Exception as exc:
+            # only reachable on a jax too old for typed keys — the value
+            # itself is schema-validated (config.training.prng_impl Literal)
+            print(
+                f"prng_impl={config.training.prng_impl!r} unavailable "
+                f"({exc}); falling back to threefry PRNGKey (slower dropout"
+                " masks)"
+            )
             rng = jax.random.PRNGKey(config.training.seed)
         example = _device_batch(next(iter(loader)))
         # tensor parallelism forces the per-leaf optimizer (moments shard

@@ -222,15 +222,35 @@ class VocoderCropLoader:
                 "audio", b, s, lang, f"audio-{self.a.input_sampling_rate}.wav",
             )
             if finetune_mel_dir is not None:
-                from ..utils import truncate_basename
+                from ..utils import slugify, truncate_basename
 
-                spec_p = (
+                # the spec writer names files by the slugified utterance
+                # TEXT (reference parity, fs2/prediction_writing_callback
+                # .py:270); fall back to the filelist basename for rows
+                # whose basename IS the text slug
+                tail = (
+                    f"spec-pred-{self.a.input_sampling_rate}-"
+                    f"{self.a.spec_type}.npy"
+                )
+                text = r.get("characters") or r.get("text") or ""
+                candidates = [
+                    truncate_basename(slugify(text)) if text else None,
+                    truncate_basename(b),
+                ]
+                spec_p = None
+                for name in candidates:
+                    if not name:
+                        continue
+                    p = (
+                        Path(finetune_mel_dir) / "synthesized_spec" /
+                        "--".join([name, s, lang, tail])
+                    )
+                    if p.exists():
+                        spec_p = p
+                        break
+                spec_p = spec_p or (
                     Path(finetune_mel_dir) / "synthesized_spec" /
-                    "--".join([
-                        truncate_basename(b), s, lang,
-                        f"spec-pred-{self.a.input_sampling_rate}-"
-                        f"{self.a.spec_type}.npy",
-                    ])
+                    "--".join([truncate_basename(b), s, lang, tail])
                 )
             else:
                 spec_p = pre.artifact_path(
@@ -432,6 +452,15 @@ def train_vocoder(
         existing = sorted(
             ckpt_dir.glob("step=*"), key=lambda p: int(p.name.split("=")[1])
         )
+        if existing and finetune_from is not None:
+            # resuming would silently replace the just-loaded finetune
+            # weights with the old run's — make the conflict explicit
+            raise ValueError(
+                f"--finetune-from given but {ckpt_dir} already contains "
+                f"checkpoints (would resume {existing[-1].name} and discard "
+                "the finetune initialization). Pass --no-resume, a fresh "
+                "log dir, or drop --finetune-from to continue the old run."
+            )
         if existing:
             state = load_vocoder_training_checkpoint(existing[-1], state)
             print(f"resumed vocoder training from {existing[-1]}")
@@ -461,11 +490,15 @@ def train_vocoder(
     stop = threading.Event()
 
     def produce():
+        batch = None
         while not stop.is_set():
+            if batch is None:
+                batch = loader.next_batch()  # build once...
             try:
-                q.put(loader.next_batch(), timeout=0.5)
+                q.put(batch, timeout=0.5)
+                batch = None  # ...and only rebuild after it lands
             except _queue.Full:
-                continue
+                continue  # retry the SAME batch; don't re-read the disk
 
     producer = threading.Thread(target=produce, daemon=True)
     producer.start()

@@ -86,6 +86,16 @@ def test_optimizer_format_conversion_both_directions(tmp_path):
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # fused -> FRESH per-leaf template: every count leaf (Adam bias
+    # correction AND the Noam schedule's ScaleByScheduleState) must carry
+    # the restored step, not the template's 0 — a dropped schedule count
+    # silently restarts LR warmup on resume
+    fresh = convert_opt_state(conv, tx_leaf.init(params), params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(fresh), jax.tree_util.tree_leaves(s_leaf)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     # same format passes through untouched
     assert convert_opt_state(s_leaf, s_leaf, params) is s_leaf
 

@@ -39,11 +39,24 @@ def test_windowed_matches_full(vocoder, window):
 
 
 def test_short_mel_single_call(vocoder):
-    """T <= window + 2*margin falls back to one full call."""
+    """T <= window + 2*margin falls back to one bucket-padded call: exact
+    match to the padded full vocode (the compiled shape), exact match to
+    the raw full vocode everywhere the receptive field stays inside the
+    real frames, and a BOUNDED compiled-shape set (32-frame buckets)."""
     mel = np.random.default_rng(1).normal(size=(40, 20)).astype(np.float32)
     segs = list(windowed_vocode(vocoder, mel, window=128))
     assert len(segs) == 1
-    np.testing.assert_allclose(segs[0], _full(vocoder, mel), atol=2e-5)
+    T, hop = 40, vocoder.hop
+    margin = vocoder.receptive_margin_frames
+    padded = np.pad(mel, ((0, 64 - T), (0, 0)))  # round_up(40, 32) = 64
+    np.testing.assert_allclose(
+        segs[0], _full(vocoder, padded)[: T * hop], atol=2e-5
+    )
+    head = (T - margin) * hop
+    np.testing.assert_allclose(
+        segs[0][:head], _full(vocoder, mel)[:head], atol=2e-5
+    )
+    assert segs[0].shape[0] == T * hop
 
 
 def test_margin_defaults_to_receptive_field(vocoder):

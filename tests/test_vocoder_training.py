@@ -292,9 +292,16 @@ def test_vocoder_finetune_from_and_predicted_mels(tmp_path):
     mel_dir = tmp_path / "synth_out" / "synthesized_spec"
     mel_dir.mkdir(parents=True)
     rows = load_filelist(Path(cfg.training.training_filelist))
+    from fastspeech2_lightning_tpu.utils import slugify
+
     for r in rows:
+        # the REAL writer naming: slugified utterance text (reference
+        # parity, fs2/prediction_writing_callback.py:270) — NOT the
+        # filelist basename (regression: the loader used to expect the
+        # basename and found zero files from the documented pipeline)
+        text = r.get("characters") or r.get("text") or ""
         name = "--".join([
-            truncate_basename(r["basename"]),
+            truncate_basename(slugify(text)),
             r.get("speaker") or "default",
             r.get("language") or "default",
             f"spec-pred-{a.input_sampling_rate}-{a.spec_type}.npy",
