@@ -81,11 +81,18 @@ def _alpha_scan(logprobs, L):
     S = 2 * L + 1
 
     if _use_pallas(B, T, S):
-        from .ctc_pallas import banded_lse_scan_pallas
+        try:
+            from .ctc_pallas import banded_lse_scan_pallas
 
-        emis = logprobs[:, :, state_label]  # [B, T, S] state-space emissions
-        alphas = banded_lse_scan_pallas(emis, left=False, add_emis_first=True)
-        return jnp.swapaxes(alphas, 0, 1)  # [T, B, S]
+            emis = logprobs[:, :, state_label]  # [B, T, S] emissions
+            alphas = banded_lse_scan_pallas(
+                emis, left=False, add_emis_first=True
+            )
+            return jnp.swapaxes(alphas, 0, 1)  # [T, B, S]
+        except Exception as exc:  # shape-specific lowering failure -> scan
+            from ._fallback import warn_fallback_once
+
+            warn_fallback_once("ctc alpha pallas (call)", exc)
 
     def emit(frame_logp):  # [B, L+1] -> [B, S]
         return frame_logp[:, state_label]
@@ -162,22 +169,28 @@ def _ctc_bwd(residuals, g):
         NEG_INF,
     )
 
+    betas = None
     if _use_pallas(B, T, S):
-        from .ctc_pallas import banded_lse_scan_pallas
+        try:
+            from .ctc_pallas import banded_lse_scan_pallas
 
-        emis = y[:, :, state_label]  # [B, T, S]
-        # feed reversed emissions with the final-state seed folded into the
-        # first row: w_{T-1} = beta_{T-1} + emis_{T-1}
-        emis_rev = jnp.flip(emis, axis=1)
-        emis_rev = emis_rev.at[:, 0, :].add(beta_last)
-        rows = banded_lse_scan_pallas(
-            emis_rev, left=True, add_emis_first=False
-        )  # [B, T, S]: rows[k] = beta_{T-2-k}; rows[T-1] = beta_{-1} (unused)
-        betas_rev = jnp.swapaxes(rows, 0, 1)[: T - 1]  # beta_{T-2}..beta_0
-        betas = jnp.concatenate(
-            [jnp.flip(betas_rev, axis=0), beta_last[None]], axis=0
-        )  # [T, B, S]
-    else:
+            emis = y[:, :, state_label]  # [B, T, S]
+            # feed reversed emissions with the final-state seed folded into
+            # the first row: w_{T-1} = beta_{T-1} + emis_{T-1}
+            emis_rev = jnp.flip(emis, axis=1)
+            emis_rev = emis_rev.at[:, 0, :].add(beta_last)
+            rows = banded_lse_scan_pallas(
+                emis_rev, left=True, add_emis_first=False
+            )  # [B,T,S]: rows[k] = beta_{T-2-k}; rows[T-1] unused
+            betas_rev = jnp.swapaxes(rows, 0, 1)[: T - 1]
+            betas = jnp.concatenate(
+                [jnp.flip(betas_rev, axis=0), beta_last[None]], axis=0
+            )  # [T, B, S]
+        except Exception as exc:  # shape-specific lowering failure -> scan
+            from ._fallback import warn_fallback_once
+
+            warn_fallback_once("ctc beta pallas (call)", exc)
+    if betas is None:
         def shift_left(a):
             return jnp.concatenate(
                 [a[:, 1:], jnp.full((B, 1), NEG_INF)], axis=1

@@ -129,12 +129,19 @@ def mas_width1_batched(
 
             warn_fallback_once("mas_width1_pallas", exc)
 
+    attn_hard = None
     if use_pallas:
-        attn_hard = mas_width1_pallas(log_attn, in_lens, out_lens)
-    else:
+        try:
+            attn_hard = mas_width1_pallas(log_attn, in_lens, out_lens)
+        except Exception as exc:
+            # a Mosaic lowering/VMEM rejection at THIS shape must degrade
+            # to the scan path, not kill the train step
+            from ._fallback import warn_fallback_once
+
+            warn_fallback_once("mas_width1_pallas (call)", exc)
+    if attn_hard is None:
         log_p = _forward_logp(log_attn)
-        onehot = _backtrack(log_p, in_lens, out_lens)  # [B, T, L]
-        attn_hard = onehot * frame_valid[:, :, None]
+        attn_hard = _backtrack(log_p, in_lens, out_lens)  # [B, T, L]
     attn_hard = attn_hard * frame_valid[:, :, None]
     durations = jnp.sum(attn_hard, axis=1).astype(jnp.int32)
     return attn_hard, durations

@@ -160,6 +160,10 @@ def mas_width1_pallas(
     return jnp.swapaxes(hard_tbl[:T], 0, 1)[:B]  # [B, T, L]
 
 
-def fits_vmem(B: int, T: int, L: int, budget_bytes: int = 10 * 2**20) -> bool:
-    """Per-grid-step VMEM check (one B_BLOCK-item DP table + emissions)."""
-    return 2 * T * min(B, B_BLOCK) * L * 4 <= budget_bytes
+def fits_vmem(B: int, T: int, L: int, budget_bytes: int = 28 * 2**20) -> bool:
+    """Per-grid-step VMEM check, mirroring the kernel's ACTUAL request
+    (vmem_limit_bytes = 5 * T_pad * B_BLOCK * L * 4 + 2 MB) so the gate and
+    the allocation agree; a shape passing here but rejected by Mosaic still
+    degrades to the scan path via the caller's try/except."""
+    t_pad = -(-T // 8) * 8  # conservative block rounding
+    return 5 * t_pad * min(B, B_BLOCK) * L * 4 + (2 << 20) <= budget_bytes

@@ -76,7 +76,10 @@ def convert_artifact_tree(
                 # still never executing arbitrary code paths beyond pickle
                 payload = torch.load(pt, map_location="cpu", weights_only=False)
             arr = _to_numpy(payload)
-            if arr is None:
+            if arr is None or arr.dtype == object:
+                # object-dtype arrays (lists of dicts etc.) would make
+                # np.save(allow_pickle=False) raise and abort the whole
+                # tree — skip and keep converting
                 log(f"skipping non-tensor payload: {pt}")
                 skipped += 1
                 continue

@@ -171,24 +171,12 @@ def mel_spectrogram_jax(
 
     The framing is expressed as a strided gather and the FFT via jnp.fft.rfft;
     the filterbank matmul runs on the MXU. One call per batch replaces the
-    reference's per-utterance CPU loop."""
-    import jax.numpy as jnp
-
-    pad = n_fft // 2
-    x = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
-    n_frames = 1 + (x.shape[1] - n_fft) // hop
-    starts = jnp.arange(n_frames) * hop
-    idx = starts[:, None] + jnp.arange(n_fft)[None, :]  # [T, n_fft]
-    frames = x[:, idx]  # [B, T, n_fft]
-    window = jnp.asarray(_hann(win_length), dtype=x.dtype)
-    if win_length < n_fft:
-        lpad = (n_fft - win_length) // 2
-        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
-    spec = jnp.fft.rfft(frames * window[None, None, :], n=n_fft, axis=-1)
-    mag = jnp.abs(spec)  # [B, T, bins]
-    fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels, f_min, f_max, htk))
-    mel = jnp.einsum("mf,btf->bmt", fb, mag.astype(jnp.float32))
-    return jnp.log(jnp.clip(mel, LOG_CLIP, None))
+    reference's per-utterance CPU loop. Shares the fused STFT with
+    batched_mel_energy_jax (single implementation — the energy is free)."""
+    mel, _energy = batched_mel_energy_jax(
+        audio, sr, n_fft, hop, win_length, n_mels, f_min, f_max, htk
+    )
+    return mel
 
 
 def batched_mel_energy_jax(

@@ -72,7 +72,11 @@ def _resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
 
 
 def _frames(x: np.ndarray) -> np.ndarray:
-    n = 1 + max(0, (len(x) - _FRAME) // _HOP)
+    if len(x) < _FRAME:
+        # shorter than one frame: no frames (callers' short-input guards
+        # handle the empty case); indexing would read past the end
+        return np.zeros((0, _FRAME), dtype=np.float64)
+    n = 1 + (len(x) - _FRAME) // _HOP
     idx = np.arange(_FRAME)[None, :] + _HOP * np.arange(n)[:, None]
     return x[idx] * np.hanning(_FRAME)[None, :]
 
@@ -221,7 +225,12 @@ def detect_clipping(
     if len(x) == 0:
         return [], 0
     hi, lo = x.max(), x.min()
-    tol = max(rail_tol * (hi - lo), 1e-12)
+    if hi - lo < 1e-6:
+        # degenerate dynamic range (digital silence / DC): there are no
+        # rails to pin to — without this, tol collapses and every sample
+        # of a silent file is reported as clipped
+        return [], 0
+    tol = rail_tol * (hi - lo)
     pinned = (x >= hi - tol) | (x <= lo + tol)
     # run-length scan over the pinned mask
     idx = np.flatnonzero(pinned)

@@ -312,6 +312,17 @@ class Preprocessor:
         on_device_spec=True computes mel + energy for the whole corpus as
         batched fused ops on the accelerator (features.batched_mel_energy_jax)
         instead of per-utterance on the host."""
+        if on_device_spec and self.audio_cfg.spec_type not in (
+            "mel", "mel-librosa",
+        ):
+            # the fused device extractor is log-mel only; 'linear'/'raw'
+            # spec types silently got mels before (wrong feature dim)
+            print(
+                f"on-device spec supports mel spec types only "
+                f"(spec_type={self.audio_cfg.spec_type!r}) — using the "
+                "host path"
+            )
+            on_device_spec = False
         all_rows: List[dict] = []
         device_queue: List[tuple] = []  # (row, data_dir, sox_effects)
         for source in self.config.preprocessing.source_data:
@@ -389,7 +400,19 @@ class Preprocessor:
                 data_dir / f"{row['basename']}.wav", a.input_sampling_rate
             )
             if effects:
-                audio, _ = apply_sox_effects(audio, a.input_sampling_rate, effects)
+                audio, new_sr = apply_sox_effects(
+                    audio, a.input_sampling_rate, effects
+                )
+                if new_sr != a.input_sampling_rate:
+                    # mirror the host path (process_utterance): rate-changing
+                    # effects resample back so spec/energy frame counts stay
+                    # aligned with pitch and the attention prior
+                    from scipy.signal import resample_poly
+
+                    g = np.gcd(new_sr, a.input_sampling_rate)
+                    audio = resample_poly(
+                        audio, a.input_sampling_rate // g, new_sr // g
+                    ).astype(np.float32)
             # room for the tail reflection so batching reproduces the host
             # path's per-utterance reflect padding exactly
             padded_len = -(-(len(audio) + pad) // bucket_samples) * bucket_samples
@@ -458,6 +481,22 @@ class Preprocessor:
         )
 
 
+_WORKER_PRE: dict = {}  # per-process memo: config dump -> Preprocessor
+
+
+def _worker_preprocessor(config: FastSpeech2Config) -> "Preprocessor":
+    """One Preprocessor per worker process, not per utterance — the
+    TextProcessor/g2p construction otherwise rivals the feature extraction
+    for short clips (pool.map pickles the config per task, so identity
+    can't key the cache; the config dump can)."""
+    key = config.model_dump_json()
+    pre = _WORKER_PRE.get(key)
+    if pre is None:
+        _WORKER_PRE.clear()
+        pre = _WORKER_PRE[key] = Preprocessor(config)
+    return pre
+
+
 def _process_one(
     item: dict,
     config: FastSpeech2Config,
@@ -467,6 +506,6 @@ def _process_one(
     defer_spectral: bool = False,
 ):
     """Top-level worker for multiprocessing pickling."""
-    return Preprocessor(config).process_utterance(
+    return _worker_preprocessor(config).process_utterance(
         item, data_dir, steps, sox_effects, defer_spectral
     )

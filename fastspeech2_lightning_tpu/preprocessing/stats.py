@@ -28,14 +28,15 @@ class StatsAccumulator:
             return
         self.min = min(self.min, float(values.min()))
         self.max = max(self.max, float(values.max()))
-        for chunk_mean, chunk_n, chunk_m2 in [
-            (float(values.mean()), values.size, float(((values - values.mean()) ** 2).sum()))
-        ]:
-            delta = chunk_mean - self.mean
-            total = self.n + chunk_n
-            self.mean += delta * chunk_n / total
-            self.m2 += chunk_m2 + delta**2 * self.n * chunk_n / total
-            self.n = total
+        # Welford/Chan parallel merge of this chunk into the running stats
+        chunk_mean = float(values.mean())
+        chunk_n = values.size
+        chunk_m2 = float(((values - chunk_mean) ** 2).sum())
+        delta = chunk_mean - self.mean
+        total = self.n + chunk_n
+        self.mean += delta * chunk_n / total
+        self.m2 += chunk_m2 + delta**2 * self.n * chunk_n / total
+        self.n = total
 
     @property
     def std(self) -> float:

@@ -143,3 +143,23 @@ def test_pesq_proxy_ranks_degradation():
     assert 1.0 <= s_very <= s_noisy <= s_clean <= 4.6
     assert s_clean > 4.0  # identical arms score near the top of the range
     assert s_clean - s_very > 0.5  # monotone, materially separated
+
+
+def test_estimate_quality_sub_frame_clip_returns_nan():
+    """Clips shorter than one analysis frame must return the NaN guards,
+    not crash on out-of-range frame indices (regression)."""
+    q = estimate_quality(np.ones(100, np.float32) * 0.1, 22050)
+    assert all(np.isnan(v) or isinstance(v, float) for v in q.values())
+
+
+def test_detect_clipping_silence_not_clipped():
+    """Digital silence / DC has no rails to pin to — a flat file used to
+    be reported as 100% clipped (regression)."""
+    from fastspeech2_lightning_tpu.preprocessing.objective import (
+        detect_clipping,
+    )
+
+    intervals, total = detect_clipping(np.zeros(22050, np.float32))
+    assert intervals == [] and total == 0
+    intervals, total = detect_clipping(np.full(1000, 0.5, np.float32))
+    assert intervals == [] and total == 0
