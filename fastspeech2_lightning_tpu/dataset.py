@@ -204,6 +204,9 @@ def collate(
     B = len(samples)
     src_lens = np.array([s["text"].shape[0] for s in samples], dtype=np.int32)
     L = pad_text_to or int(src_lens.max())
+    # same consistency rule as mel_lens below: if the pad target truncates
+    # a text, src_lens must not exceed the padded axis
+    src_lens = np.minimum(src_lens, L)
     has_mel = samples[0].get("mel") is not None
     if has_mel:
         mel_lens = np.array([s["mel"].shape[0] for s in samples], dtype=np.int32)
@@ -429,7 +432,12 @@ class BucketedLoader:
                     stamp,
                 ]
             )
-        blob = json.dumps(rows, sort_keys=True, ensure_ascii=False)
+        # the representation level changes encoded text lengths even when
+        # the hashed rows are identical (filelists without token columns
+        # encode live) — two levels must never share a cache entry
+        level = str(dataset.config.model.target_text_representation_level)
+        blob = json.dumps([level, tok_key, rows], sort_keys=True,
+                          ensure_ascii=False)
         return hashlib.sha1(blob.encode("utf8")).hexdigest()
 
     def _cache_path(self, dataset, tok_key, spec_paths) -> Path:

@@ -9,8 +9,12 @@ LookupTable = Dict[str, int]
 
 
 def build_lookup(items: List[dict], key: str) -> LookupTable:
-    """Build a value -> id mapping for a filelist column, sorted for determinism."""
-    values = sorted({item.get(key, "default") for item in items})
+    """Build a value -> id mapping for a filelist column, sorted for
+    determinism. Missing/None/empty values map to 'default' — matching how
+    the dataset resolves rows at train time (a short .psv row gives
+    DictReader None, which used to crash sorted(); an empty string used to
+    mint a phantom id class the dataset never looks up)."""
+    values = sorted({(item.get(key) or "default") for item in items})
     return {v: i for i, v in enumerate(values)}
 
 

@@ -50,6 +50,7 @@ def save_checkpoint(
     speaker2id: dict,
     symbols: list[str],
     metrics: Optional[dict] = None,
+    epoch: Optional[int] = None,
 ) -> Path:
     """Write one checkpoint directory `step=N` under ckpt_dir."""
     ckpt_dir = Path(ckpt_dir)
@@ -82,6 +83,10 @@ def save_checkpoint(
         "speaker2id": speaker2id,
         "symbols": symbols,
         "metrics": metrics or {},
+        # the epoch counter drives the bin-loss warmup and the max_epochs
+        # budget — a resume that restarted at epoch 0 silently re-ramped
+        # the binarization loss (persisted since this field's addition)
+        "epoch": epoch,
         # top-level array keys actually saved, so load_checkpoint can build a
         # restore template that matches the on-disk structure even when the
         # run config toggled optional state (e.g. ema_decay) since saving
@@ -135,6 +140,7 @@ class AsyncCheckpointWriter:
         metrics: Optional[dict] = None,
         keep_top_k: Optional[int] = None,
         monitor: Optional[str] = None,
+        epoch: Optional[int] = None,
     ) -> None:
         self.wait()
         snap = self._snapshot(state)
@@ -143,7 +149,7 @@ class AsyncCheckpointWriter:
             try:
                 save_checkpoint(
                     ckpt_dir, snap, config, stats, lang2id, speaker2id,
-                    symbols, metrics=metrics,
+                    symbols, metrics=metrics, epoch=epoch,
                 )
                 if keep_top_k is not None and monitor is not None:
                     prune_checkpoints(ckpt_dir, keep_top_k, monitor)
@@ -325,6 +331,10 @@ def average_checkpoints(
     meta = dict(newest_meta)
     meta["metrics"] = {}
     meta["averaged_from"] = [str(p) for p in ckpt_paths]
+    # the averaged checkpoint drops optional arrays (e.g. ema_params) —
+    # a stale array_keys would make the next template restore inject keys
+    # orbax can't find (structure mismatch)
+    meta["array_keys"] = sorted(out_arrays.keys())
     with open(out_path / "meta.json", "w", encoding="utf8") as f:
         json.dump(meta, f, indent=2)
     return out_path

@@ -97,26 +97,50 @@ class DevicePrefetcher:
 
         q: queue.Queue = queue.Queue(maxsize=self.size)
         err: list[BaseException] = []
+        stop = threading.Event()
 
         def produce():
             try:
                 for batch in self.loader:
-                    q.put(self._put(batch))
+                    item = self._put(batch)
+                    # bounded put + stop flag: an abandoned consumer (early
+                    # stop, preemption, exception mid-epoch) must not leave
+                    # this thread blocked forever holding device batches
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # propagate into the consumer
                 err.append(e)
             finally:
-                q.put(self._SENTINEL)
+                while True:  # sentinel must land even if the queue is full
+                    try:
+                        q.put(self._SENTINEL, timeout=0.5)
+                        break
+                    except queue.Full:
+                        if stop.is_set():
+                            break
+                        continue
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is self._SENTINEL:
-                break
-            yield item
-        t.join()
-        if err:
-            raise err[0]
+        try:
+            while True:
+                item = q.get()
+                if item is self._SENTINEL:
+                    break
+                yield item
+            t.join()
+            if err:
+                raise err[0]
+        finally:
+            # GeneratorExit / consumer exception: release the producer and
+            # drop its in-flight device batches
+            stop.set()
 
 
 class Trainer:
@@ -180,17 +204,19 @@ class Trainer:
     def _save_ckpt(self, state, metrics: dict | None = None) -> None:
         """Checkpoint + top-k prune; background when async_checkpoint."""
         cfg = self.config
+        epoch = getattr(self, "_epoch", None)
         if self._async_ckpt is not None:
             self._async_ckpt.save(
                 self.ckpt_dir, state, cfg, self.stats, self.lang2id,
                 self.speaker2id, self.text_processor.symbols,
-                metrics=metrics,
+                metrics=metrics, epoch=epoch,
                 keep_top_k=cfg.training.save_top_k_ckpts, monitor=MONITOR,
             )
             return
         save_checkpoint(
             self.ckpt_dir, state, cfg, self.stats, self.lang2id,
             self.speaker2id, self.text_processor.symbols, metrics=metrics,
+            epoch=epoch,
         )
         prune_checkpoints(self.ckpt_dir, cfg.training.save_top_k_ckpts, MONITOR)
 
@@ -289,9 +315,44 @@ class Trainer:
                 template["constants"] = state.constants
             if state.ema_params is not None:
                 template["ema_params"] = state.ema_params
-            meta, arrays = load_checkpoint(
-                start_path, self.text_processor.symbols, template=template
-            )
+            # an older-version checkpoint whose symbol inventory differs
+            # needs the row-by-row embedding remap — the current-shape
+            # template would make orbax fail on the embedding shape before
+            # the migration code ever ran. Restore template-less (numpy
+            # trees), let check_and_upgrade remap the params, and start
+            # from FRESH optimizer state (the saved moments carry the old
+            # embedding shape and cannot be transplanted).
+            migrate = False
+            try:
+                with open(start_path / "meta.json", "r", encoding="utf8") as f:
+                    _m = json.load(f)
+                from packaging.version import Version
+
+                from .. import MODEL_VERSION
+
+                migrate = Version(
+                    str(_m.get("model_info", {}).get("version", MODEL_VERSION))
+                ) < Version(MODEL_VERSION) and (
+                    _m.get("symbols", []) != self.text_processor.symbols
+                )
+            except Exception:
+                pass
+            if migrate:
+                meta, arrays = load_checkpoint(
+                    start_path, self.text_processor.symbols
+                )
+                print(
+                    f"migrated {start_path} (model version "
+                    f"{meta['model_info']['version']}, remapped symbol "
+                    "table); optimizer state starts fresh"
+                )
+                arrays["opt_state"] = jax.device_get(state.opt_state)
+                arrays.pop("ema_params", None)
+                disk_format = cur_format  # fresh state needs no conversion
+            else:
+                meta, arrays = load_checkpoint(
+                    start_path, self.text_processor.symbols, template=template
+                )
             if disk_format != cur_format:
                 arrays["opt_state"] = convert_opt_state(
                     arrays["opt_state"], state.opt_state, arrays["params"]
@@ -311,12 +372,16 @@ class Trainer:
                 ema_params=ema,
                 step=meta["global_step"],
             )
+            # the epoch counter drives the bin-loss warmup and the
+            # max_epochs budget — resuming at epoch 0 silently re-ramped
+            # the binarization loss and unbounded the epoch budget
+            self._epoch = int(meta.get("epoch") or 0)
 
         train_step = make_train_step(config, self.model)
         eval_step = make_eval_step(config, self.model)
 
         step = int(state.step)
-        epoch = 0
+        epoch = int(getattr(self, "_epoch", 0) or 0)
         t0 = time.time()
         timed_from = None  # (step, wall) set after the first (compile) step
         val_interval = config.training.val_check_interval or 500
@@ -359,6 +424,7 @@ class Trainer:
         stop_early, preempt,
     ):
         while step < max_steps and epoch < config.training.max_epochs and not stop_early:
+            self._epoch = epoch  # checkpoints persist the live counter
             for db in prefetch:
                 state, losses = train_step(state, db, rng, epoch)
                 step = int(state.step)
@@ -413,6 +479,7 @@ class Trainer:
                 if step >= max_steps:
                     break
             epoch += 1
+            self._epoch = epoch
             if ckpt_epochs and epoch % ckpt_epochs == 0:
                 self._save_ckpt(state)
         # final checkpoint; a pending async save is joined inside
@@ -423,21 +490,31 @@ class Trainer:
 
     def validate(self, state, val_loader, eval_step, epoch) -> dict:
         sums: dict = {}
-        n = 0
+        total_w = 0.0
+        first = True
         for batch in val_loader:
             db = _device_batch(batch)
             if self.mesh is not None:
                 db = shard_batch(db, self.mesh)
             losses, out = eval_step(state, db, epoch)
-            if n == 0:
+            if first:
                 try:
                     self._log_validation_media(state, batch, out)
                 except Exception as e:  # media logging must never kill training
                     print(f"validation media logging failed: {e}")
+                first = False
+            # weight each batch mean by its REAL sample count: the last
+            # bucket batch may be mostly zero-weight filler, and an equal-
+            # weight average would bias the monitored metric (checkpoint
+            # ranking + early stopping) toward its few real utterances
+            sw = batch.get("sample_weight")
+            w = float(np.sum(sw)) if sw is not None else float(
+                len(batch.get("basename", [])) or 1
+            )
             for k, v in losses.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            n += 1
-        return {k: v / max(n, 1) for k, v in sums.items()}
+                sums[k] = sums.get(k, 0.0) + float(v) * w
+            total_w += w
+        return {k: v / max(total_w, 1e-9) for k, v in sums.items()}
 
     def _log_validation_media(self, state, batch, out) -> None:
         """Rich validation logging (parity with fs2/model.py:439-528):
@@ -533,11 +610,16 @@ class Trainer:
 
         if self.config.training.vocoder_path:
             try:
-                from ..models.hifigan import load_vocoder_checkpoint
+                vocoder = getattr(self, "_media_vocoder", None)
+                if vocoder is None:
+                    # load once, not per validation pass (tens of MB of
+                    # deserialization on the training loop otherwise)
+                    from ..models.hifigan import load_vocoder_checkpoint
 
-                vocoder, _, _ = load_vocoder_checkpoint(
-                    Path(self.config.training.vocoder_path)
-                )
+                    vocoder, _, _ = load_vocoder_checkpoint(
+                        Path(self.config.training.vocoder_path)
+                    )
+                    self._media_vocoder = vocoder
                 output_key = (
                     "postnet_output" if self.config.model.use_postnet else "output"
                 )

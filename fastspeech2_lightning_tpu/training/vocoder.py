@@ -245,13 +245,9 @@ class VocoderCropLoader:
                         Path(finetune_mel_dir) / "synthesized_spec" /
                         "--".join([name, s, lang, tail])
                     )
+                    spec_p = p
                     if p.exists():
-                        spec_p = p
                         break
-                spec_p = spec_p or (
-                    Path(finetune_mel_dir) / "synthesized_spec" /
-                    "--".join([truncate_basename(b), s, lang, tail])
-                )
             else:
                 spec_p = pre.artifact_path(
                     "spec", b, s, lang, pre.spec_filename()

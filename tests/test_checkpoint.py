@@ -360,3 +360,62 @@ def test_average_checkpoints_requires_ema_when_asked(tmp_path):
     )
     with pytest.raises(CheckpointError, match="no ema_params"):
         average_checkpoints([p1], tmp_path / "avg", use_ema=True)
+
+
+def test_training_resume_migrates_old_symbol_table(tmp_path):
+    """A version-1.1 checkpoint with a SMALLER symbol inventory loads on
+    the TRAINING path: template restores used to fail on the embedding
+    shape before the row-by-row remap ever ran. The migrate branch
+    restores template-less, remaps the table, and starts the optimizer
+    fresh (old moments carry the old embedding shape)."""
+    import json
+
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).parent))
+    from helpers import make_training_workspace
+
+    from fastspeech2_lightning_tpu.training.loop import Trainer
+
+    cfg = make_training_workspace(
+        tmp_path, max_steps=1, ckpt_steps=10_000, val_check_interval=10_000
+    )
+    trainer = Trainer(cfg)
+    state = trainer.fit(max_steps=1, resume=False)
+    ckpt = sorted(trainer.ckpt_dir.glob("step=*"))[-1]
+
+    # doctor the checkpoint into a v1.1 model with a smaller inventory:
+    # drop the LAST symbol and the matching embedding row
+    meta = json.loads((ckpt / "meta.json").read_text())
+    old_symbols = meta["symbols"][:-1]
+    import jax as _jax
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    arrays = ckptr.restore((ckpt / "arrays").resolve())
+    emb = np.asarray(arrays["params"]["text_input_layer"]["embedding"])
+    doctored_dir = tmp_path / "old_ckpt" / "step=1"
+    doctored_dir.mkdir(parents=True)
+    arrays["params"]["text_input_layer"]["embedding"] = emb[:-1] + 1.0
+    ckptr.save((doctored_dir / "arrays").resolve(), arrays)
+    ckptr.wait_until_finished()
+    meta["model_info"]["version"] = "1.1"
+    meta["symbols"] = old_symbols
+    (doctored_dir / "meta.json").write_text(json.dumps(meta))
+
+    cfg.training.finetune_checkpoint = str(doctored_dir)
+    trainer2 = Trainer(cfg)
+    state2 = trainer2.fit(max_steps=2, resume=False)
+    got = np.asarray(
+        _jax.device_get(
+            state2.params["text_input_layer"]["embedding"]
+        )
+    )
+    # rows for surviving symbols came from the doctored (+1.0) table; the
+    # dropped symbol's row stays untouched by the remap. After 1 finetune
+    # step values moved slightly, so compare against the doctored rows
+    # loosely and assert the remap actually took (offset >> step size)
+    assert got.shape[0] == len(meta["symbols"]) + 1
+    diff = np.abs(got[: len(old_symbols)] - (emb[:-1] + 1.0)).max()
+    assert diff < 0.5, f"remapped rows not loaded (max diff {diff})"

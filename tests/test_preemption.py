@@ -98,3 +98,26 @@ def test_sigterm_checkpoints_and_exits_cleanly(tmp_path, monkeypatch):
     trainer2 = Trainer(cfg)
     state2 = trainer2.fit(max_steps=stopped_at + 2, resume=True)
     assert int(state2.step) == stopped_at + 2
+
+
+def test_resume_restores_epoch(tmp_path, monkeypatch):
+    """The epoch counter persists across resume — the bin-loss warmup and
+    max_epochs budget must not restart from epoch 0 (regression)."""
+    import json
+
+    from fastspeech2_lightning_tpu.training.checkpoint import (
+        latest_checkpoint,
+    )
+    from fastspeech2_lightning_tpu.training.loop import Trainer
+
+    cfg = make_training_workspace(
+        tmp_path, max_steps=8, ckpt_steps=10_000, val_check_interval=10_000
+    )
+    trainer = Trainer(cfg)
+    trainer.fit(max_steps=8, resume=False)  # 2 utterances/epoch -> epochs>0
+    ckpt = latest_checkpoint(trainer.ckpt_dir)
+    meta = json.loads((ckpt / "meta.json").read_text())
+    assert meta["epoch"] is not None and meta["epoch"] > 0
+    trainer2 = Trainer(cfg)
+    trainer2.fit(max_steps=9, resume=True)
+    assert int(getattr(trainer2, "_epoch")) >= meta["epoch"]
