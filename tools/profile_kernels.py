@@ -123,6 +123,55 @@ def run_vocoder(reps=20):
     np.asarray(wav[0, 0])
 
 
+def run_voctrain(reps=10):
+    """Full HiFiGAN D+G train step at the bench shape (B=16, 32-frame crops)."""
+    from fastspeech2_lightning_tpu.models.hifigan import HiFiGANConfig
+    from fastspeech2_lightning_tpu.models.hifigan_discriminators import (
+        DiscriminatorConfig,
+    )
+    from fastspeech2_lightning_tpu.training.vocoder import (
+        VocoderTrainingConfig,
+        create_vocoder_state,
+        make_vocoder_train_step,
+    )
+
+    gen_config = HiFiGANConfig()
+    disc_config = DiscriminatorConfig()
+    tc = VocoderTrainingConfig(batch_size=16, frames_per_crop=32)
+    state, opt_g, opt_d = create_vocoder_state(gen_config, disc_config, tc)
+    step = make_vocoder_train_step(
+        gen_config, disc_config, tc, _voc_audio(gen_config), opt_g, opt_d
+    )
+    rng = np.random.default_rng(0)
+    hop = gen_config.total_upsampling
+    batch = {
+        "mel": jax.device_put(
+            rng.normal(size=(16, 32, gen_config.n_mels)).astype(np.float32)
+        ),
+        "wav": jax.device_put(
+            (0.3 * rng.normal(size=(16, 32 * hop))).clip(-1, 1).astype(
+                np.float32
+            )
+        ),
+    }
+    state, losses = step(state, batch)
+    float(np.asarray(losses["g"]))
+    for _ in range(reps):
+        state, losses = step(state, batch)
+    float(np.asarray(losses["g"]))
+
+
+def _voc_audio(gen_config):
+    """Audio settings matching the generator (for the in-step mel loss)."""
+    from fastspeech2_lightning_tpu.config import FastSpeech2Config
+
+    a = FastSpeech2Config().preprocessing.audio
+    a.n_mels = gen_config.n_mels
+    a.fft_hop_size = gen_config.hop_size
+    a.input_sampling_rate = gen_config.sampling_rate
+    return a
+
+
 def device_op_ms(trace_dir: Path, pattern: str, reps: int = 1) -> float:
     """Total on-device ms of ops whose name matches `pattern`, per rep."""
     import re
@@ -210,6 +259,7 @@ def main():
         "ctc": run_ctc,
         "train": run_train,
         "vocoder": run_vocoder,
+        "voctrain": run_voctrain,
     }
     todo = list(runners) if which == "all" else [which]
     for name in todo:
