@@ -117,3 +117,56 @@ def test_full_generator_fused_equals_unfused():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=0, atol=5e-5
     )
+
+
+class TestPolyphaseConvTranspose:
+    """The polyphase ConvTranspose1d form must stay exactly equivalent to
+    the default input-dilated form (it is the documented alternative and
+    the base a future fused upsample kernel would build on)."""
+
+    CASES = [
+        (16, 8, 12, 6, 37),  # V1 stage-0/1 geometry, odd T
+        (4, 2, 8, 4, 33),  # V1 stage-2/3 geometry
+        (8, 4, 10, 5, 25),  # non-V1 stride
+        (12, 4, 9, 4, 23),  # K = 3*stride
+        (3, 1, 5, 5, 11),  # stride-1 degenerate (delegates to dilated)
+    ]
+
+    @pytest.mark.parametrize("K,s,cin,cout,T", CASES)
+    def test_matches_dilated(self, K, s, cin, cout, T):
+        from fastspeech2_lightning_tpu.models.hifigan import (
+            _conv_transpose1d_dilated,
+            _conv_transpose1d_polyphase,
+        )
+
+        rng = np.random.default_rng(K * 100 + s)
+        x = jnp.asarray(rng.standard_normal((2, T, cin)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((K, cin, cout)).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32))
+        got = _conv_transpose1d_polyphase(x, w, b, s)
+        want = _conv_transpose1d_dilated(x, w, b, s)
+        assert got.shape == want.shape == (2, T * s, cout)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
+
+    def test_gradients_match(self):
+        import jax
+
+        from fastspeech2_lightning_tpu.models.hifigan import (
+            _conv_transpose1d_dilated,
+            _conv_transpose1d_polyphase,
+        )
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((2, 20, 16)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((16, 16, 8)).astype(np.float32))
+        b = jnp.zeros(8)
+
+        def loss(fn, w, x):
+            return jnp.sum(jnp.sin(fn(x, w, b, 8)))
+
+        gw1, gx1 = jax.grad(lambda w, x: loss(_conv_transpose1d_polyphase, w, x), (0, 1))(w, x)
+        gw2, gx2 = jax.grad(lambda w, x: loss(_conv_transpose1d_dilated, w, x), (0, 1))(w, x)
+        np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-4, atol=1e-4)
