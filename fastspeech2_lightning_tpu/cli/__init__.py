@@ -135,9 +135,15 @@ def train(config_file: Path, config_args, max_steps, resume, model_parallel, dis
     "`synthesize -O spec --teacher-forcing-directory <preprocessed>` "
     "(adapts the vocoder to inference-time mels).",
 )
+@click.option(
+    "--precision",
+    type=click.Choice(["bfloat16", "float32"]), default="bfloat16",
+    help="Conv compute dtype for the D+G step (params/losses/optimizers "
+    "stay float32). bfloat16 is ~1.2x faster per step on TPU.",
+)
 def train_vocoder_cmd(config_file, config_args, max_steps, resume,
                       batch_size, frames_per_crop, learning_rate, ckpt_steps,
-                      data_parallel, finetune_from, finetune_mels):
+                      data_parallel, finetune_from, finetune_mels, precision):
     from ..config import load_config_base_command
     from ..training.vocoder import VocoderTrainingConfig, train_vocoder
     from ..utils.compile_cache import enable_persistent_cache
@@ -147,6 +153,7 @@ def train_vocoder_cmd(config_file, config_args, max_steps, resume,
     tc = VocoderTrainingConfig(
         batch_size=batch_size, frames_per_crop=frames_per_crop,
         learning_rate=learning_rate, ckpt_steps=ckpt_steps,
+        compute_dtype=precision,
     )
     train_vocoder(
         config, train_config=tc, max_steps=max_steps, resume=resume,

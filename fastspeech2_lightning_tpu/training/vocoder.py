@@ -62,6 +62,12 @@ class VocoderTrainingConfig:
     max_steps: int = 400000
     ckpt_steps: int = 5000
     seed: int = 0
+    # Generator/discriminator conv compute dtype. Params, losses, and the
+    # optimizer stay float32 (mixed precision); "bfloat16" is the TPU
+    # default — measured 120.7 -> 99.7 ms/step on the full D+G step at
+    # B=16/32-frame crops on v5e (same recipe the acoustic trainer uses).
+    # Set "float32" for exact-f32 training.
+    compute_dtype: str = "bfloat16"
 
 
 def _mel_fn(audio, a):
@@ -81,14 +87,35 @@ def make_vocoder_train_step(
     opt_g, opt_d,
 ):
     """(state, batch) -> (state, losses). batch: {"mel" [B, F, n_mels],
-    "wav" [B, F*hop]}. state: dict of params + opt states."""
+    "wav" [B, F*hop]}. state: dict of params + opt states.
+
+    Mixed precision: the conv compute (generator + both discriminators) runs
+    in train_config.compute_dtype (bf16 default — ~1.2x step speedup on
+    v5e); params, every loss term, the mel-spectrogram loss, and both
+    optimizers stay float32."""
+    dt = jnp.bfloat16 if train_config.compute_dtype == "bfloat16" else (
+        jnp.float32
+    )
+
+    def _cast(tree):
+        return jax.tree_util.tree_map(lambda x: x.astype(dt), tree)
 
     def g_forward(gen_params, mel):
-        return hifigan_generator(gen_params, mel, gen_config)
+        out = hifigan_generator(_cast(gen_params), mel.astype(dt), gen_config)
+        return out.astype(jnp.float32)
+
+    def _disc(disc_params, wav):
+        scores, feats = discriminator_forward(
+            _cast(disc_params), wav.astype(dt), disc_config
+        )
+        return (
+            [s.astype(jnp.float32) for s in scores],
+            [[f.astype(jnp.float32) for f in fl] for fl in feats],
+        )
 
     def d_loss_fn(disc_params, wav_real, wav_fake):
-        s_real, _ = discriminator_forward(disc_params, wav_real, disc_config)
-        s_fake, _ = discriminator_forward(disc_params, wav_fake, disc_config)
+        s_real, _ = _disc(disc_params, wav_real)
+        s_fake, _ = _disc(disc_params, wav_fake)
         loss = 0.0
         for sr, sf in zip(s_real, s_fake):
             loss = loss + jnp.mean((sr - 1.0) ** 2) + jnp.mean(sf**2)
@@ -96,10 +123,8 @@ def make_vocoder_train_step(
 
     def g_loss_fn(gen_params, disc_params, mel, wav_real):
         wav_fake = g_forward(gen_params, mel)
-        s_fake, f_fake = discriminator_forward(
-            disc_params, wav_fake, disc_config
-        )
-        _, f_real = discriminator_forward(disc_params, wav_real, disc_config)
+        s_fake, f_fake = _disc(disc_params, wav_fake)
+        _, f_real = _disc(disc_params, wav_real)
         adv = 0.0
         for sf in s_fake:
             adv = adv + jnp.mean((sf - 1.0) ** 2)
