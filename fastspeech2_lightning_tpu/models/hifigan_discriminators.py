@@ -40,11 +40,16 @@ class DiscriminatorConfig:
     msd_strides: Tuple[int, ...] = (1, 2, 2, 4, 4, 1, 1)
     msd_kernels: Tuple[int, ...] = (15, 41, 41, 41, 41, 41, 5)
     n_scales: int = 3
-    # Run the grouped MSD convs in phase-packed form (u consecutive output
-    # positions folded into the feature dim so each group's output tile
-    # fills the TPU's 128 lanes; exact — tested vs the plain grouped conv).
-    # Measured on v5e: the MSD D-step drops 45.8 -> 39.4 ms at B=16/8192
-    # samples. Identical results either way; purely an execution strategy.
+    # Run the grouped MSD convs through lane-packed execution strategies
+    # (exact — tested vs the plain grouped conv; purely how XLA executes
+    # the same math). Order tried: row-shifted block-matmul form
+    # (ops/packed_conv.py — full 128-lane output tiles AND >=128-wide
+    # contraction blocks; works for odd lengths, i.e. the avg-pooled
+    # scale-2/3 inputs), then the phase-packed widened-kernel conv, then
+    # the plain grouped conv. XLA's native grouped-conv lowering turns the
+    # group dim into a dilated spatial dim with Cout/groups(=16) active
+    # lanes, measured at 2-17 TFLOP/s on v5e — the block-matmul form is
+    # what makes MSD training viable on TPU.
     msd_phase_packed: bool = True
 
 
@@ -100,7 +105,14 @@ def _phase_packed_grouped_conv(x, w, stride: int, groups: int):
     HiFiGAN MSD geometries) buys full output lanes.
 
     Returns None when the geometry doesn't divide cleanly (caller falls
-    back to the plain grouped conv)."""
+    back to the plain grouped conv). Odd-length inputs (the avg-pooled
+    MSD scales, e.g. T=4097) CAN be supported exactly by right-padding
+    zeros to a multiple of u*stride and slicing the output — built,
+    measured on v5e, and rejected: the full D+G step got slower (88.6 vs
+    85.9 ms/step; the packed conv's wider kernel + phase transposes cost
+    more than XLA's plain grouped lowering on the small odd scales), so
+    the even-T gate below deliberately routes scales 2/3 to the plain
+    conv."""
     k, cg, cout = w.shape
     coutg = cout // groups
     u = max(1, 128 // coutg)
@@ -109,6 +121,7 @@ def _phase_packed_grouped_conv(x, w, stride: int, groups: int):
     pad_hi = k - stride - pad
     if u <= 1 or T % stride or (T // stride) % u or pad_hi < 0:
         return None
+    t_true = T // stride
     t_out = T // stride
     wk = (u - 1) * stride + k
     wr = w.reshape(k, cg, groups, coutg)
@@ -123,7 +136,7 @@ def _phase_packed_grouped_conv(x, w, stride: int, groups: int):
     )
     n2 = t_out // u
     y = y.reshape(B, n2, groups, u, coutg).transpose(0, 1, 3, 2, 4)
-    return y.reshape(B, t_out, cout)
+    return y.reshape(B, t_out, cout)[:, :t_true, :]
 
 
 def _conv2d(x, p, stride: Tuple[int, int] = (1, 1)):
