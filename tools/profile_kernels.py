@@ -155,10 +155,15 @@ def run_voctrain(reps=10):
         ),
     }
     state, losses = step(state, batch)
-    float(np.asarray(losses["g"]))
-    for _ in range(reps):
-        state, losses = step(state, batch)
-    float(np.asarray(losses["g"]))
+    float(np.asarray(losses["g"]))  # compile + warmup OUTSIDE the trace
+
+    def go(state=state):
+        losses = None
+        for _ in range(reps):
+            state, losses = step(state, batch)
+        float(np.asarray(losses["g"]))
+
+    return go
 
 
 def _voc_audio(gen_config):
@@ -205,43 +210,48 @@ def summarize(trace_dir: Path, top: int = 25):
     if not files:
         print("no trace json found under", trace_dir)
         return
-    with gzip.open(max(files, key=lambda f: Path(f).stat().st_mtime)) as f:
-        trace = json.load(f)
     dur = defaultdict(float)
     cnt = defaultdict(int)
-    pid_names = {}
-    tid_names = {}
-    for e in trace.get("traceEvents", []):
-        if e.get("ph") != "M":
-            continue
-        if e.get("name") == "process_name":
-            pid_names[e.get("pid")] = e.get("args", {}).get("name", "")
-        elif e.get("name") == "thread_name":
-            tid_names[(e.get("pid"), e.get("tid"))] = e.get("args", {}).get(
-                "name", ""
-            )
-    device_pids = {
-        p for p, n in pid_names.items()
-        if "TPU" in n or "/device" in n or "Chip" in n or "XLA" in n
-    }
-    # device traces carry per-op events on threads named "XLA Ops"; prefer
-    # those so host-side compile/runtime events don't pollute the totals
-    op_tids = {
-        k for k, n in tid_names.items()
-        if "XLA Ops" in n or "XLA TPU Ops" in n
-    }
-    for e in trace.get("traceEvents", []):
-        if e.get("ph") != "X":
-            continue
-        key = (e.get("pid"), e.get("tid"))
-        if op_tids:
-            if key not in op_tids:
+    # a trace dir can hold several .trace.json.gz (host + one per device
+    # worker); aggregate them all — picking the newest used to drop the
+    # device-step file when the host trace flushed last
+    for fname in files:
+        with gzip.open(fname) as f:
+            trace = json.load(f)
+        pid_names = {}
+        tid_names = {}
+        for e in trace.get("traceEvents", []):
+            if e.get("ph") != "M":
                 continue
-        elif device_pids and e.get("pid") not in device_pids:
-            continue
-        name = e.get("name", "?")
-        dur[name] += e.get("dur", 0)
-        cnt[name] += 1
+            if e.get("name") == "process_name":
+                pid_names[e.get("pid")] = e.get("args", {}).get("name", "")
+            elif e.get("name") == "thread_name":
+                tid_names[(e.get("pid"), e.get("tid"))] = e.get(
+                    "args", {}
+                ).get("name", "")
+        device_pids = {
+            p for p, n in pid_names.items()
+            if "TPU" in n or "/device" in n or "Chip" in n or "XLA" in n
+        }
+        # device traces carry per-op events on threads named "XLA Ops";
+        # prefer those so host-side compile/runtime events don't pollute
+        # the totals
+        op_tids = {
+            k for k, n in tid_names.items()
+            if "XLA Ops" in n or "XLA TPU Ops" in n
+        }
+        for e in trace.get("traceEvents", []):
+            if e.get("ph") != "X":
+                continue
+            key = (e.get("pid"), e.get("tid"))
+            if op_tids:
+                if key not in op_tids:
+                    continue
+            elif device_pids and e.get("pid") not in device_pids:
+                continue
+            name = e.get("name", "?")
+            dur[name] += e.get("dur", 0)
+            cnt[name] += 1
     total = sum(dur.values())
     print(f"\n== on-device op time (total {total / 1e3:.2f} ms across reps) ==")
     for name, d in sorted(dur.items(), key=lambda kv: -kv[1])[:top]:
@@ -264,8 +274,16 @@ def main():
     todo = list(runners) if which == "all" else [which]
     for name in todo:
         d = Path(str(out) + "_" + name) if which == "all" else out
-        with jax.profiler.trace(str(d)):
-            runners[name]()
+        # two-phase runners return a closure: setup/compile/warmup happen
+        # OUTSIDE the trace (a multi-minute tunnel compile inside the trace
+        # window used to evict the step's device events), reps inside
+        maybe_go = runners[name]()
+        if callable(maybe_go):
+            with jax.profiler.trace(str(d)):
+                maybe_go()
+        else:
+            with jax.profiler.trace(str(d)):
+                runners[name]()
         print(f"\n######## {name} ########")
         summarize(d)
 
