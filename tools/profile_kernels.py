@@ -47,10 +47,14 @@ def run_mas(reps=20):
         return la + jnp.sum(hard[:, :1, :1]) * 1e-12
 
     x = step(la)
-    np.asarray(x[0, 0, 0])
-    for _ in range(reps):
-        x = step(x)
-    np.asarray(x[0, 0, 0])
+    np.asarray(x[0, 0, 0])  # compile + warmup OUTSIDE the trace
+
+    def go(x=x):
+        for _ in range(reps):
+            x = step(x)
+        np.asarray(x[0, 0, 0])
+
+    return go
 
 
 def run_ctc(reps=20):
@@ -73,9 +77,13 @@ def run_ctc(reps=20):
 
     x = step(logits)
     np.asarray(x[0, 0, 0])
-    for _ in range(reps):
-        x = step(x)
-    np.asarray(x[0, 0, 0])
+
+    def go(x=x):
+        for _ in range(reps):
+            x = step(x)
+        np.asarray(x[0, 0, 0])
+
+    return go
 
 
 def run_train(reps=10):
@@ -96,9 +104,13 @@ def run_train(reps=10):
 
     state, _ = train_step(state, batch, rng, 0)
     np.asarray(state.step)
-    for _ in range(reps):
-        state, _ = train_step(state, batch, rng, 0)
-    np.asarray(state.step)
+
+    def go(state=state):
+        for _ in range(reps):
+            state, _ = train_step(state, batch, rng, 0)
+        np.asarray(state.step)
+
+    return go
 
 
 def run_vocoder(reps=20):
@@ -118,9 +130,13 @@ def run_vocoder(reps=20):
     )
     wav = voc.device_fn(mel)
     np.asarray(wav[0, 0])
-    for _ in range(reps):
-        wav = voc.device_fn(mel + wav[:, :1, None] * 1e-12)
-    np.asarray(wav[0, 0])
+
+    def go(wav=wav):
+        for _ in range(reps):
+            wav = voc.device_fn(mel + wav[:, :1, None] * 1e-12)
+        np.asarray(wav[0, 0])
+
+    return go
 
 
 def run_voctrain(reps=10):
@@ -177,78 +193,98 @@ def _voc_audio(gen_config):
     return a
 
 
+def _newest_session_files(trace_dir: Path) -> list[str]:
+    """Trace files of the NEWEST profiler session under `trace_dir`.
+
+    jax.profiler.trace creates plugins/profile/<timestamp>/ per run, with
+    several .trace.json.gz inside (host + one per device worker). Re-running
+    with the same --dir must not double-count stale sessions, so group files
+    by parent dir and keep only the most recent group (newest mtime within
+    the group).
+    """
+    files = glob.glob(str(trace_dir / "**" / "*.trace.json.gz"), recursive=True)
+    if not files:
+        return []
+    sessions = defaultdict(list)
+    for f in files:
+        sessions[str(Path(f).parent)].append(f)
+    newest = max(
+        sessions.values(),
+        key=lambda fs: max(Path(f).stat().st_mtime for f in fs),
+    )
+    return newest
+
+
+def _device_op_events(fname: str):
+    """Yield per-op device X-events from one trace file.
+
+    Device traces carry per-op events on threads named "XLA Ops"; prefer
+    those so host-side compile/runtime events don't pollute the totals.
+    A file with neither op threads nor device pids (e.g. the host-only
+    trace that coexists with device-worker files) is skipped entirely —
+    falling through to unfiltered counting would sum host events into
+    "on-device op time".
+    """
+    with gzip.open(fname) as f:
+        trace = json.load(f)
+    pid_names = {}
+    tid_names = {}
+    for e in trace.get("traceEvents", []):
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name":
+            pid_names[e.get("pid")] = e.get("args", {}).get("name", "")
+        elif e.get("name") == "thread_name":
+            tid_names[(e.get("pid"), e.get("tid"))] = e.get("args", {}).get(
+                "name", ""
+            )
+    device_pids = {
+        p for p, n in pid_names.items()
+        if "TPU" in n or "/device" in n or "Chip" in n or "XLA" in n
+    }
+    op_tids = {
+        k for k, n in tid_names.items()
+        if "XLA Ops" in n or "XLA TPU Ops" in n
+    }
+    if not op_tids and not device_pids:
+        return
+    for e in trace.get("traceEvents", []):
+        if e.get("ph") != "X":
+            continue
+        key = (e.get("pid"), e.get("tid"))
+        if op_tids:
+            if key not in op_tids:
+                continue
+        elif e.get("pid") not in device_pids:
+            continue
+        yield e
+
+
 def device_op_ms(trace_dir: Path, pattern: str, reps: int = 1) -> float:
     """Total on-device ms of ops whose name matches `pattern`, per rep."""
     import re
 
-    files = glob.glob(str(trace_dir / "**" / "*.trace.json.gz"), recursive=True)
+    files = _newest_session_files(trace_dir)
     if not files:
         return float("nan")
-    with gzip.open(max(files, key=lambda f: Path(f).stat().st_mtime)) as f:
-        trace = json.load(f)
-    tid_names = {}
-    for e in trace.get("traceEvents", []):
-        if e.get("ph") == "M" and e.get("name") == "thread_name":
-            tid_names[(e.get("pid"), e.get("tid"))] = e.get("args", {}).get(
-                "name", ""
-            )
-    op_tids = {k for k, n in tid_names.items() if "XLA Ops" in n}
     rx = re.compile(pattern)
     total = 0.0
-    for e in trace.get("traceEvents", []):
-        if e.get("ph") != "X":
-            continue
-        if op_tids and (e.get("pid"), e.get("tid")) not in op_tids:
-            continue
-        if rx.search(e.get("name", "")):
-            total += e.get("dur", 0)
+    for fname in files:
+        for e in _device_op_events(fname):
+            if rx.search(e.get("name", "")):
+                total += e.get("dur", 0)
     return total / 1e3 / max(reps, 1)
 
 
 def summarize(trace_dir: Path, top: int = 25):
-    files = glob.glob(str(trace_dir / "**" / "*.trace.json.gz"), recursive=True)
+    files = _newest_session_files(trace_dir)
     if not files:
         print("no trace json found under", trace_dir)
         return
     dur = defaultdict(float)
     cnt = defaultdict(int)
-    # a trace dir can hold several .trace.json.gz (host + one per device
-    # worker); aggregate them all — picking the newest used to drop the
-    # device-step file when the host trace flushed last
     for fname in files:
-        with gzip.open(fname) as f:
-            trace = json.load(f)
-        pid_names = {}
-        tid_names = {}
-        for e in trace.get("traceEvents", []):
-            if e.get("ph") != "M":
-                continue
-            if e.get("name") == "process_name":
-                pid_names[e.get("pid")] = e.get("args", {}).get("name", "")
-            elif e.get("name") == "thread_name":
-                tid_names[(e.get("pid"), e.get("tid"))] = e.get(
-                    "args", {}
-                ).get("name", "")
-        device_pids = {
-            p for p, n in pid_names.items()
-            if "TPU" in n or "/device" in n or "Chip" in n or "XLA" in n
-        }
-        # device traces carry per-op events on threads named "XLA Ops";
-        # prefer those so host-side compile/runtime events don't pollute
-        # the totals
-        op_tids = {
-            k for k, n in tid_names.items()
-            if "XLA Ops" in n or "XLA TPU Ops" in n
-        }
-        for e in trace.get("traceEvents", []):
-            if e.get("ph") != "X":
-                continue
-            key = (e.get("pid"), e.get("tid"))
-            if op_tids:
-                if key not in op_tids:
-                    continue
-            elif device_pids and e.get("pid") not in device_pids:
-                continue
+        for e in _device_op_events(fname):
             name = e.get("name", "?")
             dur[name] += e.get("dur", 0)
             cnt[name] += 1
