@@ -425,9 +425,9 @@ def benchmark(
         max_mel_length=config.model.max_mel_length,
     )
     batch = next(iter(loader))
-    drop = {"basename", "speaker", "language", "raw_text", "is_last_input_chunk",
-            "max_src_len", "max_mel_len"}
-    device_batch = {k: v for k, v in batch.items() if k not in drop}
+    from ..dataset import HOST_ONLY_KEYS
+
+    device_batch = {k: v for k, v in batch.items() if k not in HOST_ONLY_KEYS}
 
     model = FastSpeech2(
         config=config, stats=stats, n_symbols=len(tp.symbols),

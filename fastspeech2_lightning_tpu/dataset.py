@@ -33,6 +33,13 @@ from .utils import load_filelist
 PAD_MULT_TEXT = 16
 PAD_MULT_MEL = 32
 
+# batch fields that never ship to the device (strings, chunk bookkeeping,
+# cross-host scalars)
+HOST_ONLY_KEYS = {
+    "basename", "speaker", "language", "raw_text", "is_last_input_chunk",
+    "max_src_len", "max_mel_len", "n_real_global",
+}
+
 
 class FastSpeechDataset:
     """Loads per-utterance artifacts (parity with FastSpeechDataset,
@@ -340,12 +347,25 @@ class BucketedLoader:
         drop_last: bool = False,
         use_weighted_sampler: bool = False,
         max_mel_length: Optional[int] = None,
+        shard: tuple[int, int] = (0, 1),
     ):
+        """`batch_size` is always the GLOBAL batch size. `shard=(i, n)`
+        makes this loader yield only process i's contiguous rows of each
+        global batch (multi-host data sharding: every process draws the
+        identical batch plan from the shared seed, then loads/collates just
+        its own slice — `parallel.shard_batch` reassembles the global
+        array)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
         self.use_weighted_sampler = use_weighted_sampler
+        self.shard = shard
+        if shard[1] > 1 and batch_size % shard[1] != 0:
+            raise ValueError(
+                f"global batch_size={batch_size} must divide evenly over "
+                f"{shard[1]} processes"
+            )
 
         # measure lengths from artifacts (text from tokens; mel from spec
         # shape), with a sidecar cache so Trainer construction doesn't rescan
@@ -536,7 +556,16 @@ class BucketedLoader:
 
         vp = self.dataset.config.model.variance_predictors
         levels = {"pitch": vp.pitch.level, "energy": vp.energy.level}
+        pi, pc = self.shard
         for b, chunk, n_real in batches:
+            weights = np.ones(len(chunk), dtype=np.float32)
+            weights[n_real:] = 0.0
+            if pc > 1:
+                # every process computed the identical global (chunk,
+                # weights) above; load/collate only this process's rows
+                per = self.batch_size // pc
+                chunk = chunk[pi * per : (pi + 1) * per]
+                weights = weights[pi * per : (pi + 1) * per]
             samples = [self.dataset[int(i)] for i in chunk]
             batch = collate(
                 samples,
@@ -545,9 +574,10 @@ class BucketedLoader:
                 learn_alignment=self.dataset.config.model.learn_alignment,
                 variance_levels=levels,
             )
-            weights = np.ones(len(chunk), dtype=np.float32)
-            weights[n_real:] = 0.0
             batch["sample_weight"] = weights
+            # host-only: the GLOBAL real-sample count, for cross-host-
+            # consistent validation weighting (per-shard weight sums differ)
+            batch["n_real_global"] = n_real
             yield batch
 
 

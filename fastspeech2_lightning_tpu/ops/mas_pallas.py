@@ -152,18 +152,30 @@ def mas_width1_pallas(
         ),
         compiler_params=pltpu.CompilerParams(
             # in + out blocks, each double-buffered across grid steps,
-            # plus slack for the carried row registers
-            vmem_limit_bytes=int(5 * T_pad * B_BLOCK * L * 4) + (2 << 20),
+            # plus slack for the carried row registers; sized on the
+            # HARDWARE-TILED block (lanes pad L up to 128, sublanes pad
+            # B_BLOCK up to 8) — sizing on the logical L under-budgeted
+            # small text buckets (e.g. L=32) and the compile failed with
+            # a scoped-vmem stack OOM
+            vmem_limit_bytes=int(5 * T_pad * B_BLOCK * _lane_pad(L) * 4)
+            + (2 << 20),
         ),
         interpret=interpret,
     )(la, h_init, out_lens_col)
     return jnp.swapaxes(hard_tbl[:T], 0, 1)[:B]  # [B, T, L]
 
 
+def _lane_pad(L: int) -> int:
+    """Lanes the hardware actually allocates for a length-L minor dim."""
+    return -(-L // 128) * 128
+
+
 def fits_vmem(B: int, T: int, L: int, budget_bytes: int = 28 * 2**20) -> bool:
     """Per-grid-step VMEM check, mirroring the kernel's ACTUAL request
-    (vmem_limit_bytes = 5 * T_pad * B_BLOCK * L * 4 + 2 MB) so the gate and
-    the allocation agree; a shape passing here but rejected by Mosaic still
-    degrades to the scan path via the caller's try/except."""
-    t_pad = -(-T // 8) * 8  # conservative block rounding
-    return 5 * t_pad * min(B, B_BLOCK) * L * 4 + (2 << 20) <= budget_bytes
+    (vmem_limit_bytes = 5 * T_pad * B_BLOCK * lane_pad(L) * 4 + 2 MB) so the
+    gate and the allocation agree; a shape passing here but rejected by
+    Mosaic still degrades to the scan path via the caller's try/except."""
+    t_pad = T + ((-(T - 1)) % UNROLL)  # the kernel's own T padding
+    return (
+        5 * t_pad * B_BLOCK * _lane_pad(L) * 4 + (2 << 20) <= budget_bytes
+    )

@@ -133,7 +133,26 @@ def _validated_spec(spec: P, leaf, mesh: Mesh) -> P:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a batch on the mesh, batch axis over 'data'.
+
+    Single-process: a plain device_put. Multi-process (multi-host): each
+    process holds only its OWN rows of the global batch (BucketedLoader
+    `shard=` slicing) and the global array is assembled with
+    `host_local_array_to_global_array` — the process-order concatenation
+    matches the loader's contiguous per-process slices."""
     specs = batch_pspec(batch)
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        def put_global(x, spec):
+            if x is None:
+                return None
+            return multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh, spec
+            )
+
+        return jax.tree_util.tree_map(put_global, batch, specs)
 
     def put(x, spec):
         if x is None:
@@ -144,35 +163,49 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return jax.tree_util.tree_map(put, batch, specs)
 
 
+def _put_sharded(x, spec: P, mesh: Mesh):
+    """Place one HOST-REPLICATED value (numpy or local array — every process
+    holds the identical full value) onto the mesh with `spec`.
+
+    Multi-process device_put cannot target non-addressable devices, so the
+    global array is built with make_array_from_callback: each process
+    serves the shards its devices own by slicing its full local copy."""
+    if x is None or not hasattr(x, "shape"):
+        return x
+    spec = _validated_spec(spec, x, mesh)
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        xh = np.asarray(x)
+        return jax.make_array_from_callback(
+            xh.shape, sharding, lambda idx: xh[idx]
+        )
+    return jax.device_put(x, sharding)
+
+
 def shard_state(state, mesh: Mesh):
     """Place a TrainState on the mesh: params/opt_state per the rules
     (model-sharded where divisible), everything else replicated."""
     pspecs = param_pspec_tree(state.params)
 
     def put_param(x, spec):
-        spec = _validated_spec(spec, x, mesh)
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return _put_sharded(x, spec, mesh)
 
     params = jax.tree_util.tree_map(put_param, state.params, pspecs)
 
     def put_repl(x):
-        if x is None or not hasattr(x, "shape"):
-            return x
-        return jax.device_put(x, NamedSharding(mesh, P()))
+        return _put_sharded(x, P(), mesh)
 
     # optimizer state mirrors the params' placement (opt_pspec_tree); leaves
     # without a param counterpart (counts) are replicated
     opt_specs = opt_pspec_tree(state.opt_state, state.params)
 
-    def put_opt(x, spec):
-        if x is None or not hasattr(x, "shape"):
-            return x
-        spec = _validated_spec(spec, x, mesh)
-        return jax.device_put(x, NamedSharding(mesh, spec))
-
     new_state = state.replace(
         params=params,
-        opt_state=jax.tree_util.tree_map(put_opt, state.opt_state, opt_specs),
+        opt_state=jax.tree_util.tree_map(
+            lambda x, spec: _put_sharded(x, spec, mesh),
+            state.opt_state,
+            opt_specs,
+        ),
         batch_stats=jax.tree_util.tree_map(put_repl, state.batch_stats)
         if state.batch_stats is not None
         else None,
@@ -182,6 +215,6 @@ def shard_state(state, mesh: Mesh):
         ema_params=jax.tree_util.tree_map(put_param, state.ema_params, pspecs)
         if getattr(state, "ema_params", None) is not None
         else None,
-        step=jax.device_put(state.step, NamedSharding(mesh, P())),
+        step=_put_sharded(np.asarray(state.step), P(), mesh),
     )
     return new_state

@@ -41,6 +41,28 @@ def _opt_format(opt_state) -> str:
     return opt_state_format(opt_state)
 
 
+def host_state_snapshot(state):
+    """Full-value numpy snapshot of a (possibly multi-host-sharded) state.
+
+    Multi-host checkpointing: every process calls this (the allgather is a
+    collective), then only process 0 passes the numpy tree to
+    save_checkpoint. Replicated global arrays are read locally; sharded ones
+    (ZeRO-1 moments, TP params spanning hosts) are allgathered tiled."""
+
+    def full(x):
+        if x is None or not isinstance(x, jax.Array):
+            return x
+        if x.is_fully_addressable:
+            return jax.device_get(x)
+        if x.is_fully_replicated:
+            return np.asarray(x)
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.process_allgather(x, tiled=True)
+
+    return jax.tree_util.tree_map(full, state)
+
+
 def save_checkpoint(
     ckpt_dir: Path,
     state,
@@ -56,9 +78,17 @@ def save_checkpoint(
     ckpt_dir = Path(ckpt_dir)
     step = int(state.step)
     path = ckpt_dir / f"step={step}"
-    if path.exists():
-        shutil.rmtree(path)
-    path.mkdir(parents=True)
+    # multi-host: every process calls this (orbax's save is collective);
+    # plain filesystem work and the JSON sidecar are process-0-only
+    is_main = jax.process_index() == 0
+    if is_main:
+        if path.exists():
+            shutil.rmtree(path)
+        path.mkdir(parents=True)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"fs2t_save_pre_{step}")
 
     arrays = {
         "params": jax.device_get(state.params),
@@ -96,8 +126,9 @@ def save_checkpoint(
         # template and convert the moments exactly (training/fused_optim.py)
         "optimizer_format": _opt_format(state.opt_state),
     }
-    with open(path / "meta.json", "w", encoding="utf8") as f:
-        json.dump(meta, f, indent=2)
+    if is_main:
+        with open(path / "meta.json", "w", encoding="utf8") as f:
+            json.dump(meta, f, indent=2)
     return path
 
 

@@ -56,9 +56,9 @@ def _guard_finite_losses(host: dict, step: int, enabled: bool) -> None:
 
 def _device_batch(batch: dict) -> dict:
     """Strip host-only fields; ship arrays."""
-    drop = {"basename", "speaker", "language", "raw_text", "is_last_input_chunk",
-            "max_src_len", "max_mel_len"}
-    return {k: v for k, v in batch.items() if k not in drop}
+    from ..dataset import HOST_ONLY_KEYS
+
+    return {k: v for k, v in batch.items() if k not in HOST_ONLY_KEYS}
 
 
 class DevicePrefetcher:
@@ -143,6 +143,39 @@ class DevicePrefetcher:
             stop.set()
 
 
+class _LockstepJit:
+    """Multi-process compile coordination for a jitted step function.
+
+    The first collective of a freshly compiled program initializes the CPU
+    backend's Gloo context with a ~30 s rendezvous window; if one process
+    compiles faster than another (cold cache, loaded host), the fast one
+    times out waiting. For each NEW input signature this wrapper AOT-compiles
+    first (warming the persistent compile cache), then holds every process
+    at a coordination-service barrier (which has no such window), and only
+    then dispatches — so the rendezvous clock starts aligned."""
+
+    def __init__(self, fn, name: str):
+        self.fn = fn
+        self.name = name
+        self.seen: set = set()
+
+    def __call__(self, *args):
+        key = tuple(
+            (tuple(x.shape), str(x.dtype))
+            for x in jax.tree_util.tree_leaves(args)
+            if hasattr(x, "shape")
+        )
+        if key not in self.seen:
+            self.seen.add(key)
+            self.fn.lower(*args).compile()
+            from jax._src import distributed
+
+            distributed.global_state.client.wait_at_barrier(
+                f"fs2t_{self.name}_{len(self.seen)}", 600_000
+            )
+        return self.fn(*args)
+
+
 class Trainer:
     """Mesh-aware trainer: with one visible device it runs plain jit; with
     several it lays the batch over the 'data' axis and the wide matmul params
@@ -159,6 +192,21 @@ class Trainer:
         model_parallel: int = 1,
     ):
         self.model_parallel = model_parallel
+        # multi-host: every process runs this same Trainer; data loading,
+        # checkpoint writes and logging are coordinated by process index
+        # (the reference gets the analogous per-rank handling from
+        # Lightning DDP, fs2/cli/train.py:33-41)
+        self.process_index = jax.process_index()
+        self.process_count = jax.process_count()
+        self.is_main = self.process_index == 0
+        if (
+            self.process_count > 1
+            and config.training.batch_size % self.process_count != 0
+        ):
+            raise ValueError(
+                f"training.batch_size={config.training.batch_size} must "
+                f"divide evenly over {self.process_count} processes"
+            )
         self.mesh = None
         if len(jax.devices()) > 1:
             mesh = make_mesh(model_parallel=model_parallel)
@@ -172,6 +220,11 @@ class Trainer:
                     f"running single-device. Set a divisible batch size to "
                     f"use the mesh."
                 )
+        if self.process_count > 1 and self.mesh is None:
+            raise ValueError(
+                "multi-host training requires the global mesh: make "
+                "training.batch_size divisible by the data axis"
+            )
         self.config = config
         save_dir = Path(config.preprocessing.save_dir)
         if stats is None:
@@ -205,6 +258,31 @@ class Trainer:
         """Checkpoint + top-k prune; background when async_checkpoint."""
         cfg = self.config
         epoch = getattr(self, "_epoch", None)
+        if self.process_count > 1:
+            # multi-host: all processes join the (collective) snapshot,
+            # process 0 writes, everyone syncs so no process reads or
+            # prunes a half-written checkpoint. Async writing is bypassed
+            # here — the snapshot itself is the synchronization point.
+            from jax.experimental import multihost_utils
+
+            from .checkpoint import host_state_snapshot
+
+            host_state = host_state_snapshot(state)
+            # orbax's save is itself collective — ALL processes call it
+            # (save_checkpoint gates the filesystem/JSON work on process 0)
+            save_checkpoint(
+                self.ckpt_dir, host_state, cfg, self.stats, self.lang2id,
+                self.speaker2id, self.text_processor.symbols,
+                metrics=metrics, epoch=epoch,
+            )
+            if self.is_main:
+                prune_checkpoints(
+                    self.ckpt_dir, cfg.training.save_top_k_ckpts, MONITOR
+                )
+            multihost_utils.sync_global_devices(
+                f"fs2t_ckpt_{int(host_state.step)}"
+            )
+            return
         if self._async_ckpt is not None:
             self._async_ckpt.save(
                 self.ckpt_dir, state, cfg, self.stats, self.lang2id,
@@ -221,6 +299,8 @@ class Trainer:
         prune_checkpoints(self.ckpt_dir, cfg.training.save_top_k_ckpts, MONITOR)
 
     def _log(self, tag: str, value: float, step: int):
+        if not self.is_main:
+            return
         if self.writer is None:
             try:
                 from tensorboardX import SummaryWriter
@@ -235,6 +315,7 @@ class Trainer:
         config = self.config
         max_steps = max_steps or config.training.max_steps
         train_ds, val_ds = load_datasets(config, self.lang2id, self.speaker2id)
+        shard = (self.process_index, self.process_count)
         loader = BucketedLoader(
             train_ds,
             config.training.batch_size,
@@ -242,13 +323,22 @@ class Trainer:
             seed=config.training.seed,
             use_weighted_sampler=config.training.use_weighted_sampler,
             max_mel_length=config.model.max_mel_length,
+            shard=shard,
         )
+        val_bs = min(config.training.batch_size, max(len(val_ds), 1))
+        if self.process_count > 1:
+            # multi-host has no replicated-batch fallback (each process
+            # holds different rows), so the global val batch must stay
+            # divisible over the data axis — use the training batch size
+            # and let the loader zero-weight-fill short batches
+            val_bs = config.training.batch_size
         val_loader = BucketedLoader(
             val_ds,
-            min(config.training.batch_size, max(len(val_ds), 1)),
+            val_bs,
             n_buckets=config.training.bucket_count,
             seed=config.training.seed,
             max_mel_length=config.model.max_mel_length,
+            shard=shard,
         )
 
         # dropout-mask PRNG: a typed key pins the implementation per-key (no
@@ -277,10 +367,10 @@ class Trainer:
             else None
         )
         state = create_train_state(config, self.model, rng, example, fused=fused)
-        if self.mesh is not None:
-            from ..parallel import shard_state
-
-            state = shard_state(state, self.mesh)
+        # (state is placed on the mesh AFTER the restore block below —
+        # restoring replaces leaves with host numpy arrays, and on a
+        # multi-host mesh those must be re-assembled into global arrays
+        # before the first jitted step)
 
         start_path = None
         if resume:
@@ -377,8 +467,16 @@ class Trainer:
             # the binarization loss and unbounded the epoch budget
             self._epoch = int(meta.get("epoch") or 0)
 
+        if self.mesh is not None:
+            from ..parallel import shard_state
+
+            state = shard_state(state, self.mesh)
+
         train_step = make_train_step(config, self.model)
         eval_step = make_eval_step(config, self.model)
+        if self.process_count > 1:
+            train_step = _LockstepJit(train_step, "train")
+            eval_step = _LockstepJit(eval_step, "eval")
 
         step = int(state.step)
         epoch = int(getattr(self, "_epoch", 0) or 0)
@@ -427,7 +525,13 @@ class Trainer:
             self._epoch = epoch  # checkpoints persist the live counter
             for db in prefetch:
                 state, losses = train_step(state, db, rng, epoch)
-                step = int(state.step)
+                # host-side step counter (train_step increments by exactly
+                # 1): fetching state.step would force a device sync every
+                # iteration, serializing dispatch — with a remote/tunneled
+                # device that made the wall step time RTT-bound. The device
+                # only syncs at the logging / validation / checkpoint
+                # cadences below.
+                step += 1
                 if preempt["flag"]:
                     print(
                         f"received signal {preempt['signum']}: checkpointing "
@@ -448,11 +552,12 @@ class Trainer:
                     sps = (step - timed_from[0]) / max(
                         time.time() - timed_from[1], 1e-9
                     )
-                    print(
-                        f"step {step} epoch {epoch} total={host['total']:.4f} "
-                        f"spec={host.get('spec', 0):.4f} ({sps:.2f} steps/s "
-                        f"excl. compile)"
-                    )
+                    if self.is_main:
+                        print(
+                            f"step {step} epoch {epoch} total={host['total']:.4f} "
+                            f"spec={host.get('spec', 0):.4f} ({sps:.2f} steps/s "
+                            f"excl. compile)"
+                        )
                 if ckpt_steps and step % ckpt_steps == 0:
                     self._save_ckpt(state)
                 if step % val_interval == 0 or step >= max_steps:
@@ -506,11 +611,17 @@ class Trainer:
             # weight each batch mean by its REAL sample count: the last
             # bucket batch may be mostly zero-weight filler, and an equal-
             # weight average would bias the monitored metric (checkpoint
-            # ranking + early stopping) toward its few real utterances
-            sw = batch.get("sample_weight")
-            w = float(np.sum(sw)) if sw is not None else float(
-                len(batch.get("basename", [])) or 1
-            )
+            # ranking + early stopping) toward its few real utterances.
+            # n_real_global is the cross-host count — per-shard weight sums
+            # differ between processes and would make hosts disagree on the
+            # monitored metric (divergent early stopping = deadlock)
+            if batch.get("n_real_global") is not None:
+                w = float(batch["n_real_global"])
+            else:
+                sw = batch.get("sample_weight")
+                w = float(np.sum(sw)) if sw is not None else float(
+                    len(batch.get("basename", [])) or 1
+                )
             for k, v in losses.items():
                 sums[k] = sums.get(k, 0.0) + float(v) * w
             total_w += w
@@ -529,7 +640,22 @@ class Trainer:
         from ..utils.plotting import expand, plot_attn_maps, plot_mel
 
         step = int(state.step)
-        host = lambda x: np.asarray(x)  # noqa: E731
+
+        def host(x):
+            # model outputs may be data-sharded global arrays (multi-host):
+            # concatenate this host's shards — process 0 (the only media
+            # logger) owns the FIRST global rows, matching `batch`'s rows
+            if isinstance(x, jax.Array) and not (
+                x.is_fully_addressable or x.is_fully_replicated
+            ):
+                shards = sorted(
+                    x.addressable_shards,
+                    key=lambda s: s.index[0].start or 0,
+                )
+                return np.concatenate(
+                    [np.asarray(s.data) for s in shards], axis=0
+                )
+            return np.asarray(x)
         if self.config.model.learn_alignment and out["attn_soft"] is not None:
             figs = plot_attn_maps(
                 host(out["attn_soft"]),

@@ -109,6 +109,129 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+# Full-production-path worker: runs Trainer.fit (per-process data sharding,
+# process-0 checkpoint writes, validation on a cadence) instead of a
+# hand-rolled step. argv: idx nproc port config_path log_dir local_devices
+FIT_WORKER = r"""
+import os, sys
+idx, nproc = int(sys.argv[1]), int(sys.argv[2])
+port, cfg_path, log_dir, local_devices = sys.argv[3:7]
+os.environ["XLA_FLAGS"] = (
+    f"--xla_force_host_platform_device_count={local_devices}"
+)
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_compilation_cache_dir", r"%(repo)s/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass
+if nproc > 1:
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc,
+        process_id=idx,
+    )
+sys.path.insert(0, r"%(repo)s")
+from pathlib import Path
+from fastspeech2_lightning_tpu.config import FastSpeech2Config
+from fastspeech2_lightning_tpu.training.loop import Trainer
+
+config = FastSpeech2Config.load_config_from_path(Path(cfg_path))
+trainer = Trainer(config, log_dir=Path(log_dir))
+state = trainer.fit(max_steps=4, resume=False)
+print(f"FITDONE {idx} {int(state.step)}", flush=True)
+if nproc > 1:
+    jax.distributed.shutdown()
+"""
+
+
+@pytest.mark.slow
+def test_two_process_trainer_fit_matches_single_process(tmp_path):
+    """`fs2t train --distributed` production path: Trainer.fit under two
+    jax.distributed processes (4 virtual CPU devices each) must produce the
+    same checkpoint as a single-process fit over the identical 8-device
+    mesh — per-process batch slices + GSPMD all-reduce == global batch."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(REPO / "tests"))
+    from helpers import make_training_workspace
+
+    config = make_training_workspace(
+        tmp_path,
+        n_utts=8,
+        batch_size=8,
+        val_check_interval=2,
+        prefetch_batches=0,
+    )
+    cfg_path = tmp_path / "config.yaml"
+    script = tmp_path / "fit_worker.py"
+    script.write_text(FIT_WORKER % {"repo": str(REPO)})
+    port = _free_port()
+
+    def run(procs_spec):
+        procs = [
+            subprocess.Popen(
+                [
+                    sys.executable, str(script), str(i), str(n), str(port),
+                    str(cfg_path), str(tmp_path / f"logs_{tag}"),
+                    str(local_devices),
+                ],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                cwd=str(tmp_path),
+            )
+            for (i, n, tag, local_devices) in procs_spec
+        ]
+        for p in procs:
+            try:
+                out, err = p.communicate(timeout=900)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail("fit worker timed out")
+            assert p.returncode == 0, f"fit worker failed:\n{err[-6000:]}"
+            assert "FITDONE" in out, out
+
+    run([(0, 2, "multi", 4), (1, 2, "multi", 4)])
+    run([(0, 1, "single", 8)])
+
+    from fastspeech2_lightning_tpu.training.checkpoint import load_checkpoint
+
+    def final_ckpt(tag):
+        ckpts = sorted(
+            (tmp_path / f"logs_{tag}" / "checkpoints").glob("step=*"),
+            key=lambda p: int(p.name.split("=")[1]),
+        )
+        assert ckpts, f"no checkpoints under logs_{tag}"
+        return ckpts[-1]
+
+    import numpy as np
+
+    multi_path, single_path = final_ckpt("multi"), final_ckpt("single")
+    assert multi_path.name == single_path.name == "step=4"
+    meta_m, arrays_m = load_checkpoint(multi_path)
+    meta_s, arrays_s = load_checkpoint(single_path)
+    flat_m = jax_flat(arrays_m["params"])
+    flat_s = jax_flat(arrays_s["params"])
+    assert flat_m.keys() == flat_s.keys()
+    for k in flat_m:
+        np.testing.assert_allclose(
+            flat_m[k], flat_s[k], rtol=1e-5, atol=1e-6, err_msg=k
+        )
+
+
+def jax_flat(tree) -> dict:
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {
+        "/".join(str(getattr(p, "key", p)) for p in path): leaf
+        for path, leaf in flat
+    }
+
+
 @pytest.mark.slow
 def test_two_process_distributed_train_step(tmp_path):
     script = tmp_path / "worker.py"

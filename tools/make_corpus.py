@@ -1,0 +1,293 @@
+"""Deterministic formant-synthesis corpus generator for quality training runs.
+
+The sandbox has no real speech data, so this builds the most speech-like
+corpus a closed environment allows: a Klatt-style cascade formant
+synthesizer (voiced impulse-train source + three time-varying second-order
+resonators + shaped-noise frication/aspiration paths) driven by per-character
+acoustic targets. Every character has a distinct, consistent spectral
+signature, utterances carry real F0 declination/accent contours and
+per-utterance speaking-rate variation, so the full FastSpeech2 task is
+learnable end to end: the aligner must discover the monotonic text-mel map
+(MAS), the variance adaptor must predict genuinely varying duration / pitch /
+energy targets, and the vocoder sees harmonic + noise spectra.
+
+Everything is deterministic given (--seed, text): re-running the script
+reproduces the corpus bit-exactly.
+
+Usage:
+    python tools/make_corpus.py OUTDIR [--n-train 320] [--n-val 32] [--seed 0]
+
+Writes OUTDIR/{wavs/*.wav, filelist.psv, config.yaml} ready for
+`fs2t preprocess OUTDIR/config.yaml`.
+
+Reference role: stands in for a real corpus in the reference's
+readme-documented workflow (reference readme.md:30-38 — preprocess/train/
+synthesize on user-supplied speech data).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from dataclasses import dataclass, replace
+from pathlib import Path
+
+import numpy as np
+from scipy.signal import butter, lfilter
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from fastspeech2_lightning_tpu.preprocessing.pipeline import save_wav  # noqa: E402
+from fastspeech2_lightning_tpu.utils import write_filelist  # noqa: E402
+
+SR = 22050
+BLOCK = 128  # ~5.8 ms control blocks
+
+
+@dataclass(frozen=True)
+class Seg:
+    """One acoustic segment: formant targets + source mix + duration."""
+
+    f1: float = 500.0
+    f2: float = 1500.0
+    f3: float = 2500.0
+    voiced: float = 0.0       # impulse-train gain through the cascade
+    aspir: float = 0.0        # noise gain through the cascade
+    fric: float = 0.0         # noise gain through the sibilant band filter
+    band: str = "none"        # sibilant filter bank: s / sh / f / none
+    amp: float = 1.0
+    dur: float = 0.08         # seconds (before rate scaling / jitter)
+
+
+_V = dict(voiced=1.0, amp=1.0, dur=0.125)
+# fmt: off
+CHARS: dict[str, tuple[Seg, ...]] = {
+    "a": (Seg(800, 1200, 2500, **_V),),
+    "e": (Seg(500, 1900, 2500, **_V),),
+    "i": (Seg(310, 2300, 3000, **_V),),
+    "o": (Seg(500, 900, 2400, **_V),),
+    "u": (Seg(330, 800, 2250, **_V),),
+    "y": (Seg(300, 2150, 2900, voiced=1.0, amp=0.8, dur=0.09),),
+    "w": (Seg(350, 750, 2300, voiced=1.0, amp=0.8, dur=0.09),),
+    "l": (Seg(380, 1050, 2600, voiced=1.0, amp=0.7, dur=0.08),),
+    "r": (Seg(420, 1250, 1650, voiced=1.0, amp=0.7, dur=0.08),),
+    "m": (Seg(260, 1100, 2200, voiced=1.0, amp=0.55, dur=0.085)),
+    "n": (Seg(260, 1600, 2500, voiced=1.0, amp=0.55, dur=0.085)),
+    "v": (Seg(300, 1300, 2400, voiced=0.7, fric=0.25, band="f", amp=0.6, dur=0.075),),
+    "z": (Seg(280, 1700, 2600, voiced=0.6, fric=0.5, band="s", amp=0.6, dur=0.085),),
+    "j": (Seg(280, 1900, 2700, voiced=0.6, fric=0.45, band="sh", amp=0.6, dur=0.085),),
+    "f": (Seg(400, 1500, 2500, fric=0.8, band="f", amp=0.5, dur=0.095),),
+    "s": (Seg(400, 1700, 2600, fric=1.0, band="s", amp=0.55, dur=0.105),),
+    "x": (Seg(400, 1700, 2600, fric=0.9, band="sh", amp=0.55, dur=0.11),),
+    "c": (Seg(400, 1800, 2600, fric=0.9, band="sh", amp=0.5, dur=0.1),),
+    "h": (Seg(500, 1500, 2500, aspir=0.8, amp=0.45, dur=0.07),),
+    # plosives: closure (near-silence) + burst + short aspiration/voice bar
+    "p": (Seg(amp=0.0, dur=0.055), Seg(700, 1100, 2400, fric=0.9, band="f", amp=0.8, dur=0.028)),
+    "t": (Seg(amp=0.0, dur=0.055), Seg(500, 1800, 2600, fric=1.0, band="s", amp=0.8, dur=0.028)),
+    "k": (Seg(amp=0.0, dur=0.055), Seg(450, 1500, 2400, fric=0.95, band="sh", amp=0.8, dur=0.03)),
+    "b": (Seg(250, 1100, 2300, voiced=0.35, amp=0.25, dur=0.045), Seg(600, 1100, 2400, fric=0.5, band="f", amp=0.7, dur=0.022)),
+    "d": (Seg(250, 1700, 2500, voiced=0.35, amp=0.25, dur=0.045), Seg(450, 1800, 2600, fric=0.6, band="s", amp=0.7, dur=0.022)),
+    "g": (Seg(250, 1500, 2400, voiced=0.35, amp=0.25, dur=0.045), Seg(400, 1500, 2400, fric=0.55, band="sh", amp=0.7, dur=0.024)),
+    "q": (Seg(amp=0.0, dur=0.055), Seg(450, 1400, 2400, fric=0.9, band="sh", amp=0.8, dur=0.03)),
+    " ": (Seg(amp=0.0, dur=0.07),),
+}
+# fmt: on
+# two entries above are single Segs not tuples (m, n) — normalize
+for _k, _v in list(CHARS.items()):
+    if isinstance(_v, Seg):
+        CHARS[_k] = (_v,)
+
+WORDS = [
+    "amber", "anchor", "autumn", "basil", "beacon", "bellow", "birch",
+    "bloom", "border", "breeze", "candle", "canyon", "cedar", "cinder",
+    "clover", "coral", "crystal", "dawn", "delta", "drift", "ember",
+    "evening", "falcon", "fable", "feather", "fern", "flint", "garden",
+    "glacier", "golden", "granite", "grove", "harbor", "hazel", "hollow",
+    "horizon", "island", "ivory", "jasper", "juniper", "kestrel", "lagoon",
+    "lantern", "lark", "linden", "lumen", "maple", "meadow", "mellow",
+    "mirror", "morning", "moss", "myrtle", "nectar", "north", "oasis",
+    "ocean", "opal", "orchard", "osprey", "pebble", "pine", "plume",
+    "prairie", "quartz", "quiet", "raven", "ridge", "river", "rowan",
+    "saffron", "sage", "shadow", "shore", "silver", "sorrel", "spruce",
+    "stone", "summer", "sundial", "tallow", "tamarind", "tether", "thistle",
+    "timber", "tundra", "umber", "valley", "velvet", "violet", "walnut",
+    "water", "willow", "winter", "wren", "yarrow", "zephyr", "under",
+    "over", "beside", "beyond", "early", "gentle", "quiet", "slow",
+    "bright", "deep", "cold", "warm", "wide", "small", "old", "new",
+]
+
+
+def _resonator(f: np.ndarray, bw: float):
+    """Batched Klatt second-order resonator coefficients per block."""
+    r = np.exp(-np.pi * bw / SR)
+    theta = 2 * np.pi * np.clip(f, 50.0, SR / 2 - 200.0) / SR
+    a1 = -2 * r * np.cos(theta)
+    a2 = np.full_like(f, r * r)
+    b0 = 1 + a1 + a2  # unity gain at DC
+    return b0, a1, a2
+
+
+_BANDS = {
+    "s": butter(2, 4500 / (SR / 2), "highpass"),
+    "sh": butter(2, [1800 / (SR / 2), 6500 / (SR / 2)], "bandpass"),
+    "f": butter(1, [900 / (SR / 2), 8200 / (SR / 2)], "bandpass"),
+}
+
+
+def _segments(text: str, rng: np.random.Generator, rate: float) -> list[Seg]:
+    segs: list[Seg] = [Seg(amp=0.0, dur=0.1)]  # leading silence
+    for ch in text:
+        for seg in CHARS.get(ch, CHARS[" "]):
+            jitter = float(rng.uniform(0.88, 1.12))
+            segs.append(replace(seg, dur=seg.dur * rate * jitter))
+    segs.append(Seg(amp=0.0, dur=0.12))  # trailing silence
+    return segs
+
+
+def _smooth(x: np.ndarray, w: int) -> np.ndarray:
+    k = np.ones(w) / w
+    return np.convolve(np.pad(x, (w // 2, w - 1 - w // 2), mode="edge"), k, "valid")
+
+
+def synthesize(text: str, seed: int) -> np.ndarray:
+    """Render one utterance deterministically from (text, seed)."""
+    rng = np.random.default_rng(seed)
+    rate = float(rng.uniform(0.88, 1.15))  # speaking rate
+    f0_base = float(rng.uniform(115.0, 165.0))
+    segs = _segments(text, rng, rate)
+
+    # per-block target tracks
+    nblocks_per = [max(1, int(round(s.dur * SR / BLOCK))) for s in segs]
+    nb = sum(nblocks_per)
+    tr = {k: np.zeros(nb) for k in ("f1", "f2", "f3", "v", "asp", "fric", "amp")}
+    band_of_block = np.zeros(nb, dtype=np.int8)  # 0 none, 1 s, 2 sh, 3 f
+    band_idx = {"none": 0, "s": 1, "sh": 2, "f": 3}
+    accent = np.zeros(nb)
+    pos = 0
+    for s, n in zip(segs, nblocks_per):
+        sl = slice(pos, pos + n)
+        tr["f1"][sl], tr["f2"][sl], tr["f3"][sl] = s.f1, s.f2, s.f3
+        tr["v"][sl], tr["asp"][sl], tr["fric"][sl] = s.voiced, s.aspir, s.fric
+        tr["amp"][sl] = s.amp
+        band_of_block[sl] = band_idx[s.band]
+        if s.voiced >= 1.0:  # full vowels carry pitch accents
+            accent[sl] = rng.uniform(-0.1, 0.14)
+        pos += n
+
+    # coarticulation: smooth formants/gains over ~30 ms
+    for k in ("f1", "f2", "f3"):
+        tr[k] = _smooth(tr[k], 5)
+    for k in ("v", "asp", "amp"):
+        tr[k] = _smooth(tr[k], 3)
+
+    # F0: declination + accents + slow wander + sentence-final fall
+    t01 = np.linspace(0, 1, nb)
+    wander = _smooth(rng.standard_normal(nb), 25) * 0.02
+    f0 = f0_base * (1.12 - 0.24 * t01) * (1 + _smooth(accent, 9)) * (1 + wander)
+    f0[-max(nb // 10, 1):] *= np.linspace(1.0, 0.82, max(nb // 10, 1))
+
+    n = nb * BLOCK
+    # voiced source: impulse train from a phase accumulator, then a leaky
+    # integrator for a -6 dB/oct glottal-ish rolloff
+    phase = np.cumsum(np.repeat(f0, BLOCK) / SR)
+    pulses = np.diff(np.floor(phase), prepend=0.0)
+    voiced_src = lfilter([1.0], [1.0, -0.94], pulses)
+    noise = rng.standard_normal(n) * 0.18
+
+    # cascade excitation per block (voicing + aspiration), time-varying filter
+    v_g = np.repeat(tr["v"], BLOCK)
+    a_g = np.repeat(tr["asp"], BLOCK)
+    excite = voiced_src * v_g + noise * a_g
+    out = np.zeros(n)
+    zi = [np.zeros(2) for _ in range(3)]
+    b0s, a1s, a2s = [], [], []
+    for f, bw in ((tr["f1"], 90.0), (tr["f2"], 120.0), (tr["f3"], 170.0)):
+        c = _resonator(f, bw)
+        b0s.append(c[0]); a1s.append(c[1]); a2s.append(c[2])
+    for blk in range(nb):
+        sl = slice(blk * BLOCK, (blk + 1) * BLOCK)
+        y = excite[sl]
+        for j in range(3):
+            y, zi[j] = lfilter(
+                [b0s[j][blk]], [1.0, a1s[j][blk], a2s[j][blk]], y, zi=zi[j]
+            )
+        out[sl] = y
+
+    # sibilant path: band-shaped noise added after the cascade
+    fric_g = np.repeat(tr["fric"], BLOCK)
+    if fric_g.any():
+        fric_noise = rng.standard_normal(n) * 0.35
+        for name, idx in (("s", 1), ("sh", 2), ("f", 3)):
+            mask = np.repeat(band_of_block == idx, BLOCK)
+            if mask.any():
+                b, a = _BANDS[name]
+                shaped = lfilter(b, a, fric_noise)
+                out += shaped * fric_g * mask
+
+    out *= np.repeat(tr["amp"], BLOCK)
+    out += rng.standard_normal(n) * 1e-4  # tiny floor so "silence" is real audio
+    peak = np.max(np.abs(out)) + 1e-9
+    return (out / peak * 0.55).astype(np.float32)
+
+
+def make_texts(n: int, rng: np.random.Generator) -> list[str]:
+    texts = []
+    seen = set()
+    while len(texts) < n:
+        k = int(rng.integers(3, 9))
+        words = [WORDS[int(rng.integers(len(WORDS)))] for _ in range(k)]
+        t = " ".join(words)
+        if t in seen:
+            continue
+        seen.add(t)
+        texts.append(t)
+    return texts
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("outdir", type=Path)
+    ap.add_argument("--n-train", type=int, default=320)
+    ap.add_argument("--n-val", type=int, default=32)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    ws = args.outdir
+    (ws / "wavs").mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+    texts = make_texts(args.n_train + args.n_val, rng)
+    rows = []
+    total_s = 0.0
+    for i, text in enumerate(texts):
+        wav = synthesize(text, seed=args.seed * 1_000_003 + i)
+        total_s += len(wav) / SR
+        save_wav(ws / "wavs" / f"utt{i:04d}.wav", wav, SR)
+        rows.append({"basename": f"utt{i:04d}", "text": text,
+                     "speaker": "default", "language": "default"})
+    write_filelist(rows, ws / "filelist.psv")
+
+    import yaml
+
+    config = {
+        "model": {"learn_alignment": True},
+        "preprocessing": {
+            "save_dir": str(ws / "preprocessed"),
+            "source_data": [{"data_dir": str(ws / "wavs"),
+                             "filelist": str(ws / "filelist.psv")}],
+        },
+        "training": {
+            "batch_size": 16,
+            "val_check_interval": 250,
+            "training_filelist": str(ws / "preprocessed" / "training_filelist.psv"),
+            "validation_filelist": str(ws / "preprocessed" / "validation_filelist.psv"),
+            "logger": {"save_dir": str(ws / "logs")},
+        },
+        "text": {"symbols": {"letters": list("abcdefghijklmnopqrstuvwxyz")}},
+    }
+    (ws / "config.yaml").write_text(yaml.safe_dump(config))
+    print(f"wrote {len(rows)} utterances ({total_s / 60:.1f} min audio), "
+          f"config -> {ws / 'config.yaml'}")
+
+
+if __name__ == "__main__":
+    main()
