@@ -60,7 +60,10 @@ def arpabet_to_ipa(arpabet: str | List[str]) -> List[str]:
                 out.append(" ")
             continue
         key = tok.rstrip("012").upper()
-        out.append(ARPABET_TO_IPA.get(key, tok))
+        if key == "AH" and tok.endswith("0"):
+            out.append("ə")  # CMUdict AH0 is the reduced vowel (schwa)
+        else:
+            out.append(ARPABET_TO_IPA.get(key, tok))
     # single space between words, none at the edges
     while out and out[-1] == " ":
         out.pop()
@@ -145,6 +148,13 @@ _LONG_VOWEL = {"a": "eɪ", "e": "i", "i": "aɪ", "o": "oʊ", "u": "u"}
 
 
 def _eng_word(word: str) -> List[str]:
+    # curated high-frequency lexicon first (irregular spellings, vowel
+    # reduction, stress); spelling rules are the OOV fallback
+    from .lexicon import lookup
+
+    entry = lookup(word)
+    if entry is not None:
+        return entry
     # magic-e: a word-final silent 'e' after a consonant is dropped and the
     # preceding single vowel takes its long form
     long_idx = -1
@@ -213,8 +223,25 @@ def characters_g2p(text: str) -> List[str]:
 
 # Every IPA symbol the bundled engines can emit — injected into the symbol
 # inventory when a phones-level model has no user-declared phone set.
+# Includes the lexicon's reduced vowel (ə) and stress token (ˈ).
+def _lexicon_phones() -> set:
+    from .lexicon import ENGLISH_LEXICON
+
+    phones = set()
+    for entry in ENGLISH_LEXICON.values():
+        for tok in entry.split(" "):
+            if len(tok) > 1 and tok.startswith("ˈ"):
+                phones.add("ˈ")
+                phones.add(tok[1:])
+            else:
+                phones.add(tok)
+    return phones
+
+
 IPA_PHONES: List[str] = sorted(
-    {p for _, seq in _ENG_RULES for p in seq} | set(ARPABET_TO_IPA.values()),
+    {p for _, seq in _ENG_RULES for p in seq}
+    | set(ARPABET_TO_IPA.values())
+    | _lexicon_phones(),
     key=lambda s: (-len(s), s),
 )
 

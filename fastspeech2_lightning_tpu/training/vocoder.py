@@ -552,7 +552,11 @@ def train_vocoder(
 
                 batch = shard_batch(batch, mesh)
             state, losses = step_fn(state, batch)
-            step = int(jax.device_get(state["step"]))
+            # host-side counter (step_fn increments by exactly 1): fetching
+            # state["step"] every iteration forces a device sync that
+            # serializes dispatch — RTT-bound wall time on remote devices.
+            # The device syncs at the logging/checkpoint cadences below.
+            step += 1
             if step % 50 == 0 or step == 1:
                 host = {k: float(v) for k, v in losses.items()}
                 sps = step / max(time.time() - t0, 1e-9)

@@ -20,11 +20,13 @@ from helpers import make_training_workspace
 
 
 def test_english_g2p_basic_rules():
-    assert english_g2p("this") == ["θ", "ɪ", "s"]  # th rule (unvoiced variant)
+    # "this" resolves via the LEXICON now — voiced th, which the rules got
+    # systematically wrong (round-3 verdict, missing #3)
+    assert english_g2p("this") == ["ð", "ɪ", "s"]
     assert english_g2p("ship shape") == ["ʃ", "ɪ", "p", " ", "ʃ", "eɪ", "p"]
     assert english_g2p("sing") == ["s", "ɪ", "ŋ"]
-    # magic-e drops the final silent e
-    assert english_g2p("make")[-1] != "ɛ"
+    # magic-e drops the final silent e (OOV rules path)
+    assert english_g2p("bake")[-1] != "ɛ"
     # punctuation passes through as its own token
     assert english_g2p("hi!")[-1] == "!"
     # every emitted phone is in the published inventory (or passthrough)
@@ -32,8 +34,57 @@ def test_english_g2p_basic_rules():
         assert tok == " " or tok in IPA_PHONES
 
 
+def test_english_lexicon_irregulars_and_stress():
+    """The curated lexicon must fix the irregular words a rule engine cannot
+    (reference consumes real g2p mappings, fs2/dataset.py:155-174)."""
+    assert english_g2p("one") == ["w", "ʌ", "n"]
+    assert english_g2p("said") == ["s", "ɛ", "d"]
+    assert english_g2p("who") == ["h", "u"]
+    assert english_g2p("women") == ["ˈ", "w", "ɪ", "m", "ɪ", "n"]
+    assert english_g2p("laugh") == ["l", "æ", "f"]
+    assert english_g2p("don't") == ["d", "oʊ", "n", "t"]
+    # stress is a single separate token, present in the inventory
+    toks = english_g2p("about")
+    assert "ˈ" in toks and "ˈ" in IPA_PHONES
+    assert toks == ["ə", "b", "ˈ", "aʊ", "t"]
+    # schwa (vowel reduction) is emitted and published
+    assert "ə" in english_g2p("the cat") and "ə" in IPA_PHONES
+
+
+def test_english_lexicon_covers_running_text():
+    """Most word TOKENS of ordinary running text must resolve through the
+    lexicon (not the approximate rules)."""
+    from fastspeech2_lightning_tpu.text.lexicon import lookup
+
+    paragraph = (
+        "the morning was cold and a gentle wind came down from the "
+        "mountain to the river where the children would walk to school "
+        "and talk about the things they had seen the night before "
+        "because there was nothing else to do in the little town"
+    )
+    words = paragraph.split()
+    hits = sum(1 for w in words if lookup(w) is not None)
+    assert hits / len(words) >= 0.85, f"{hits}/{len(words)} lexicon hits"
+
+
+def test_lexicon_entries_are_well_formed():
+    """Every lexicon phone must be in the published IPA inventory."""
+    from fastspeech2_lightning_tpu.text.lexicon import (
+        ENGLISH_LEXICON,
+        lookup,
+    )
+
+    assert len(ENGLISH_LEXICON) >= 400
+    for word in ENGLISH_LEXICON:
+        assert word.isalpha() and word == word.lower(), word
+        for tok in lookup(word):
+            assert tok in IPA_PHONES, (word, tok)
+
+
 def test_arpabet_to_ipa_table():
-    assert arpabet_to_ipa("HH AH0 L OW1") == ["h", "ʌ", "l", "oʊ"]
+    # AH0 is the reduced vowel (schwa) in CMUdict stress notation
+    assert arpabet_to_ipa("HH AH0 L OW1") == ["h", "ə", "l", "oʊ"]
+    assert arpabet_to_ipa("HH AH1 T") == ["h", "ʌ", "t"]
     assert arpabet_to_ipa("HH AY1  W ER1 L D") == [
         "h", "aɪ", " ", "w", "ɝ", "l", "d",
     ]
