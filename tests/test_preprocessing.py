@@ -78,6 +78,52 @@ def test_f0_silence_unvoiced():
     assert (f0 == 0).all()
 
 
+def test_f0_semantics_on_formant_speech():
+    """Validate the YIN tracker's pitch-target SEMANTICS — absolute Hz
+    accuracy, voicing decisions, octave stability — on speech-like audio
+    with an analytically known F0 contour (round-3 verdict, missing #5).
+
+    The reference's pitch targets come from pyworld DIO/StoneMask
+    (SURVEY.md §2.3); pyworld is not in this image, so the golden is the
+    formant synthesizer's own driving contour (tools/make_corpus.py
+    return_tracks): impulse-train source at exactly f0[t] Hz with real
+    declination/accents/wander, plus unvoiced frication/silence spans."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from make_corpus import synthesize
+
+    hop = 256
+    rel_errs, voiced_hits, unvoiced_hits = [], [], []
+    for seed, text in enumerate(
+        ["sage opal granite hollow", "quiet flint stone", "zephyr crystal"]
+    ):
+        wav, truth = synthesize(text, seed=seed, return_tracks=True)
+        f0 = estimate_f0(wav, SR, hop)
+        centers = np.minimum(np.arange(len(f0)) * hop, len(wav) - 1)
+        true_f0 = truth["f0"][centers]
+        voicing = truth["voicing"][centers]
+        # strongly voiced (full vowels) vs clearly unvoiced (silence /
+        # pure frication); the synthesizer's mixed breathy spans (partial
+        # voicing) are legitimately ambiguous and left unscored
+        strong = voicing > 0.5
+        silent = voicing < 0.01
+        voiced_hits.append((f0[strong] > 0).mean())
+        unvoiced_hits.append((f0[silent] == 0).mean())
+        det = strong & (f0 > 0)
+        rel_errs.append(np.abs(f0[det] - true_f0[det]) / true_f0[det])
+    rel = np.concatenate(rel_errs)
+    # voicing decisions: >90% recall on full vowels, >80% rejection of
+    # silence/frication (DIO-grade behavior)
+    assert np.mean(voiced_hits) > 0.90, voiced_hits
+    assert np.mean(unvoiced_hits) > 0.80, unvoiced_hits
+    # absolute accuracy: median within 3%; octave errors (2x/0.5x = 100%/50%
+    # rel err) essentially absent
+    assert np.median(rel) < 0.03, np.median(rel)
+    assert np.quantile(rel, 0.95) < 0.10, np.quantile(rel, 0.95)
+    assert (rel > 0.4).mean() < 0.01, (rel > 0.4).mean()
+
+
 def test_energy_shape_silence_vs_tone():
     audio = np.concatenate([np.zeros(SR // 4, dtype=np.float32), tone(220, 0.25)])
     e = frame_energy_numpy(audio, 1024, 256, 1024)

@@ -149,8 +149,17 @@ def _smooth(x: np.ndarray, w: int) -> np.ndarray:
     return np.convolve(np.pad(x, (w // 2, w - 1 - w // 2), mode="edge"), k, "valid")
 
 
-def synthesize(text: str, seed: int) -> np.ndarray:
-    """Render one utterance deterministically from (text, seed)."""
+def synthesize(text: str, seed: int, return_tracks: bool = False):
+    """Render one utterance deterministically from (text, seed).
+
+    With return_tracks=True also returns the analytic ground truth the
+    synthesizer was driven with — per-sample F0 (Hz) and voicing gain —
+    which makes corpus audio a golden source for validating the YIN F0
+    tracker's semantics (absolute Hz accuracy, voicing decisions, octave
+    stability) on speech-like signals. The reference gets this validation
+    for free by depending on pyworld (SURVEY.md §2.3); pyworld is not in
+    this image, so the analytically-known contour is the strongest
+    available substitute."""
     rng = np.random.default_rng(seed)
     rate = float(rng.uniform(0.88, 1.15))  # speaking rate
     f0_base = float(rng.uniform(115.0, 165.0))
@@ -227,7 +236,15 @@ def synthesize(text: str, seed: int) -> np.ndarray:
     out *= np.repeat(tr["amp"], BLOCK)
     out += rng.standard_normal(n) * 1e-4  # tiny floor so "silence" is real audio
     peak = np.max(np.abs(out)) + 1e-9
-    return (out / peak * 0.55).astype(np.float32)
+    wav = (out / peak * 0.55).astype(np.float32)
+    if return_tracks:
+        truth = {
+            "f0": np.repeat(f0, BLOCK).astype(np.float32),
+            # voicing as delivered to the source: voiced gain x amplitude
+            "voicing": (v_g * np.repeat(tr["amp"], BLOCK)).astype(np.float32),
+        }
+        return wav, truth
+    return wav
 
 
 def make_texts(n: int, rng: np.random.Generator) -> list[str]:
