@@ -7,6 +7,7 @@ without user code (consumed at fs2/dataset.py:155-174)."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from fastspeech2_lightning_tpu.text.g2p import (
     IPA_PHONES,
@@ -116,6 +117,7 @@ def test_phones_config_injects_ipa_inventory():
     assert "g2p_ipa" not in cfg_chars.text.symbols
 
 
+@pytest.mark.slow
 def test_phones_level_end_to_end(tmp_path):
     """preprocess -> train 2 steps -> synthesize, all at phones level with no
     user-supplied g2p callable (VERDICT.md task 5 acceptance)."""

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fastspeech2_lightning_tpu.models import FastSpeech2
 from fastspeech2_lightning_tpu.training.loss import compute_loss
@@ -124,6 +125,7 @@ def test_multispeaker_multilingual_and_gst():
     assert np.isfinite(np.asarray(out["output"])).all()
 
 
+@pytest.mark.slow
 def test_grad_flows():
     rng = np.random.default_rng(6)
     cfg, model = build(learn_alignment=True)

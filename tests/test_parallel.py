@@ -69,6 +69,7 @@ def test_param_rules_target_big_matmuls():
     assert any("qkv/kernel" in h for h in hits)
 
 
+@pytest.mark.slow
 def test_train_step_dp_matches_single_device():
     cfg, model, state, batch = build_state_and_batch()
     ts = make_train_step(cfg, model)
@@ -116,6 +117,7 @@ def _model_sharded_leaves(tree):
     return [x for x in jax.tree_util.tree_leaves(tree) if is_sharded(x)]
 
 
+@pytest.mark.slow
 def test_train_step_tensor_parallel_executes():
     from fastspeech2_lightning_tpu.parallel import shard_state
 
@@ -136,6 +138,7 @@ def test_train_step_tensor_parallel_executes():
     assert len(_model_sharded_leaves(new_state.opt_state)) >= 2
 
 
+@pytest.mark.slow
 def test_train_step_tensor_parallel_matches_single_device():
     """TP TRAIN step == single-device train step, per loss AND updated
     params — the smoke test above only asserts a finite loss, which a
@@ -178,6 +181,7 @@ def test_train_step_tensor_parallel_matches_single_device():
         )
 
 
+@pytest.mark.slow
 def test_fused_optimizer_zero1_on_data_mesh():
     """Fused flat-buffer optimizer on a pure-DP mesh: the flat Adam moments
     shard over the data axis (ZeRO-1) when divisible, and the sharded step

@@ -6,6 +6,8 @@ checkpoint and exit 0 so the restart resumes at the same step."""
 import os
 import signal
 
+import pytest
+
 
 from fastspeech2_lightning_tpu.training.preemption import (
     install_preemption_handler,
@@ -57,6 +59,7 @@ def test_disarm_restores_without_signal():
     assert signal.getsignal(signal.SIGTERM) is original
 
 
+@pytest.mark.slow
 def test_sigterm_checkpoints_and_exits_cleanly(tmp_path, monkeypatch):
     """fit() under SIGTERM finishes the in-flight step, writes a checkpoint
     at that exact step, returns normally, and the run resumes from it."""

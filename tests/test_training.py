@@ -221,6 +221,7 @@ def test_early_stopping_halts_training(tmp_path):
     assert int(state.step) < 40
 
 
+@pytest.mark.slow
 def test_ema_params_follow_update_rule():
     """ema' = d*ema + (1-d)*params' after each optimizer step."""
     cfg = tiny_config(learn_alignment=False)

@@ -83,6 +83,7 @@ def test_discriminator_shapes_and_feature_maps():
     assert count_params(params) > 0
 
 
+@pytest.mark.slow
 def test_vocoder_train_step_learns():
     """A jitted D+G step runs, losses are finite, both sides update, and
     the mel-L1 term drops when overfitting one fixed crop."""
