@@ -59,15 +59,22 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, p, sm_scale):
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     s = s * sm_scale + bias_ref[0, 0][None, :]  # key-side additive mask
-    prob = _softmax_rows(s)
+    # softmax with the row normalization DEFERRED: the T*T division never
+    # happens — E = exp(s - m) feeds the MXU unnormalized and 1/rowsum
+    # (together with the dropout keep-scale) lands on the [T, dh] output
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    ssum = jnp.sum(e, axis=1, keepdims=True)
+    eb = e.astype(v.dtype)
+    scale = 1.0 / ssum
     if p > 0.0:
         # hardware seed takes at most 2 words: fold (b, h) into one
         pltpu.prng_seed(seed_ref[0], b * pl.num_programs(1) + h)
-        keep = _uniform_keep(prob.shape, p)
-        prob = jnp.where(keep, prob, 0.0) * (1.0 / (1.0 - p))
-    o_ref[0, 0] = jnp.dot(
-        prob.astype(v.dtype), v, preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+        keep = _uniform_keep(e.shape, p)
+        eb = jnp.where(keep, eb, jnp.zeros_like(eb))
+        scale = scale * (1.0 / (1.0 - p))
+    acc = jnp.dot(eb, v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (acc * scale).astype(o_ref.dtype)
 
 
 def _bwd_kernel(
@@ -83,27 +90,36 @@ def _bwd_kernel(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     s = s * sm_scale + bias_ref[0, 0][None, :]
-    prob = _softmax_rows(s)
+    # P = inv ∘ E with inv = 1/rowsum(E) is never materialized: every T*T
+    # pass that used to touch P folds the row factor into a [T, 1] scale
+    # on a matmul operand or output instead (deferred-normalization form
+    # of the softmax VJP: ds = c·sm_scale·inv ∘ (t1 − E ∘ (inv·rowsum t1))
+    # with t1 = D ∘ dpd ∘ E and c the dropout keep-scale)
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    inv = 1.0 / jnp.sum(e, axis=1, keepdims=True)
+    c = (1.0 / (1.0 - p)) if p > 0.0 else 1.0
+    eb = e.astype(do.dtype)
     if p > 0.0:
         # same stream as the forward pass
         pltpu.prng_seed(seed_ref[0], b * pl.num_programs(1) + h)
-        keep = _uniform_keep(prob.shape, p)
-        probd = jnp.where(keep, prob, 0.0) * (1.0 / (1.0 - p))
-    else:
-        probd = prob
-    pd16 = probd.astype(do.dtype)
+        keep = _uniform_keep(e.shape, p)
+        eb = jnp.where(keep, eb, jnp.zeros_like(eb))
+    # dv = P'^T do = c · E_drop^T (inv ∘ do): the row factor rides the
+    # [T, dh] operand, not a T*T pass
+    dof = (do.astype(jnp.float32) * (c * inv)).astype(do.dtype)
     dv_ref[0, 0] = jax.lax.dot_general(
-        pd16, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        eb, dof, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(dv_ref.dtype)
     dpd = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     if p > 0.0:
-        dprob = jnp.where(keep, dpd, 0.0) * (1.0 / (1.0 - p))
+        t1 = jnp.where(keep, dpd, 0.0) * e
     else:
-        dprob = dpd
-    ds = prob * (dprob - jnp.sum(dprob * prob, axis=1, keepdims=True))
-    ds = (ds * sm_scale).astype(q.dtype)
+        t1 = dpd * e
+    r = jnp.sum(t1, axis=1, keepdims=True) * inv
+    ds = ((t1 - e * r) * ((c * sm_scale) * inv)).astype(q.dtype)
     dq_ref[0, 0] = jnp.dot(
         ds, k, preferred_element_type=jnp.float32
     ).astype(dq_ref.dtype)
@@ -127,8 +143,13 @@ def _specs(B, H, T, dh):
 
 
 def _vmem_params(T):
-    # S + prob + mask (+ ds in bwd) in f32 plus tiles and slack
+    # S + prob + mask (+ ds in bwd) in f32 plus tiles and slack.
+    # (batch, head) programs are independent (the PRNG stream is seeded
+    # from program_id, not grid order) — parallel semantics let megacore
+    # parts split the grid across TensorCores (neutral on single-core
+    # chips; measured so on this v5e-class device).
     return pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel"),
         vmem_limit_bytes=6 * T * T * 4 + (8 << 20),
     )
 
