@@ -323,15 +323,27 @@ def measure_training() -> dict:
     step; MFU hard-fails above 100%.
     """
     import jax
+    import jax.numpy as jnp
 
     _enable_compile_cache()
 
     from __graft_entry__ import _flagship_config, _make_model, _train_batch
     from fastspeech2_lightning_tpu.training.state import create_train_state
-    from fastspeech2_lightning_tpu.training.step import make_train_step
+    from fastspeech2_lightning_tpu.training.step import (
+        make_multi_train_step,
+        make_train_step,
+    )
     from fastspeech2_lightning_tpu.utils.benchmarking import check_mfu
 
     config = _flagship_config()  # learn_alignment on: the training workload
+    # training.steps_per_call: fuse k optimizer steps into one dispatch
+    # (lax.scan over the same step core — tests/test_training.py).
+    # MEASURED NEGATIVE on this tunnel at k=4: 36.68 vs 35.89 ms/step —
+    # dispatch already pipelines; the ~3 ms wall-over-op-sum gap is device
+    # scheduling bubbles, which a scan does not remove. Default 1; the knob
+    # stays for genuinely RTT-bound links.
+    spc = int(os.environ.get("FS2T_STEPS_PER_CALL", "1"))
+    config.training.steps_per_call = spc
     model = _make_model(config)
     rng = np.random.default_rng(0)
     batches = [
@@ -365,27 +377,52 @@ def measure_training() -> dict:
     except Exception:
         pass
 
-    # compile + warmup (forced completion via loss fetch)
-    for i in range(3):
-        state, losses = train_step(state, batches[i % len(batches)], key, 0)
-    assert np.isfinite(float(np.asarray(losses["total"])))
-
-    trials = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for i in range(TRAIN_REPS):
+    if spc > 1:
+        multi = make_multi_train_step(config, model)
+        stacked = {
+            k: jnp.stack([b[k] for b in batches[:spc]])
+            if spc <= len(batches)
+            else jnp.stack([batches[i % len(batches)][k] for i in range(spc)])
+            for k in batches[0]
+        }
+        # compile + warmup (forced completion via loss fetch)
+        for _ in range(2):
+            state, slosses = multi(state, stacked, key, 0)
+        assert np.isfinite(float(np.asarray(slosses["total"][-1])))
+        reps = max(1, TRAIN_REPS // spc)
+        trials = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                state, slosses = multi(state, stacked, key, 0)
+            final = float(np.asarray(slosses["total"][-1]))  # forces the chain
+            trials.append(time.perf_counter() - t0)
+            assert np.isfinite(final)
+        sec_per_step = min(trials) / (reps * spc)
+    else:
+        # compile + warmup (forced completion via loss fetch)
+        for i in range(3):
             state, losses = train_step(state, batches[i % len(batches)], key, 0)
-        final = float(np.asarray(losses["total"]))  # forces the chain
-        trials.append(time.perf_counter() - t0)
-        assert np.isfinite(final)
-    sec_per_step = min(trials) / TRAIN_REPS
+        assert np.isfinite(float(np.asarray(losses["total"])))
+
+        trials = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for i in range(TRAIN_REPS):
+                state, losses = train_step(state, batches[i % len(batches)], key, 0)
+            final = float(np.asarray(losses["total"]))  # forces the chain
+            trials.append(time.perf_counter() - t0)
+            assert np.isfinite(final)
+        sec_per_step = min(trials) / TRAIN_REPS
     mfu = check_mfu(flops, sec_per_step)
     return {
         "train_ms_per_step": round(sec_per_step * 1000, 3),
         "train_frames_per_sec": round(TRAIN_B * TRAIN_T / sec_per_step, 1),
         "train_tflops_per_step": round(flops / 1e12, 3),
         "train_mfu_pct": round(mfu * 100, 2),
-        "train_shapes": {"B": TRAIN_B, "L": L, "T": TRAIN_T},
+        "train_shapes": {
+            "B": TRAIN_B, "L": L, "T": TRAIN_T, "steps_per_call": spc,
+        },
     }
 
 

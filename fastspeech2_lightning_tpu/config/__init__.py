@@ -333,6 +333,27 @@ class FastSpeech2TrainingConfig(ConfigModel):
         "the binding constraint. Ignored (per-leaf forced) under tensor "
         "parallelism, where moments must shard with their params.",
     )
+    steps_per_call: int = Field(
+        default=1,
+        ge=1,
+        description="Fuse this many optimizer steps into one device "
+        "dispatch (a lax.scan over the train-step core, "
+        "training/step.py make_multi_train_step). Amortizes the "
+        "host->device round trip a remote/tunneled TPU pays per call "
+        "(~2.3 ms/step measured at B=32/T=1024, serialized by the "
+        "transport). Math is bit-identical to sequential steps; per-step "
+        "losses are still logged exactly. Validation / checkpoint / "
+        "early-stop cadences quantize UP to the next call boundary (at "
+        "most k-1 steps late); preemption checkpoints land on a call "
+        "boundary. Only consecutive same-shape batches fuse (length "
+        "buckets flush early), so the win is largest on uniform-shape "
+        "corpora. Default 1: exact cadence fidelity — and on this repo's "
+        "tunneled v5e, k=4 measured NEUTRAL-to-negative (36.7 vs 35.9 "
+        "ms/step at B=32/T=1024: dispatch already pipelines; the residual "
+        "wall-vs-device gap is on-device scheduling bubbles). Worth "
+        "enabling only on links where per-dispatch latency demonstrably "
+        "binds.",
+    )
     prng_impl: Literal["unsafe_rbg", "rbg", "threefry2x32"] = Field(
         default="unsafe_rbg",
         description="JAX PRNG implementation for training randomness "

@@ -32,7 +32,7 @@ from .checkpoint import (
 )
 from .preemption import install_preemption_handler
 from .state import TrainState, create_train_state, make_optimizer
-from .step import make_eval_step, make_train_step
+from .step import make_eval_step, make_multi_train_step, make_train_step
 from ..preprocessing.stats import load_stats
 
 MONITOR = "validation/total_loss"
@@ -61,6 +61,70 @@ def _device_batch(batch: dict) -> dict:
     return {k: v for k, v in batch.items() if k not in HOST_ONLY_KEYS}
 
 
+def _group_steps(loader, k: int):
+    """Yield (n, host_batch): runs of k consecutive SAME-SHAPE batches
+    np.stacked on a new leading axis (host-only keys dropped — the device
+    batch strips them anyway), stragglers yielded singly with n=1.
+
+    Feeds make_multi_train_step: only equal-shape batches can ride one
+    lax.scan, so length-bucket switches flush the pending run. Worst case
+    (every batch a different bucket) degenerates to the plain per-batch
+    path with no stacking cost."""
+    from ..dataset import HOST_ONLY_KEYS
+
+    pend: list = []
+    sig = None
+
+    def _sig(b):
+        return tuple(
+            sorted(
+                (key, tuple(getattr(v, "shape", ())), str(getattr(v, "dtype", type(v))))
+                for key, v in b.items()
+            )
+        )
+
+    def _flush():
+        nonlocal pend
+        out = []
+        while pend:
+            if len(pend) >= k:
+                take, pend = pend[:k], pend[k:]
+                keys = [
+                    key for key in take[0]
+                    if key not in HOST_ONLY_KEYS
+                    and hasattr(take[0][key], "shape")
+                ]
+                out.append(
+                    (k, {key: np.stack([b[key] for b in take]) for key in keys})
+                )
+            else:
+                out.append((1, pend.pop(0)))
+        return out
+
+    for b in loader:
+        s = _sig(b)
+        if sig is not None and s != sig:
+            yield from _flush()
+        sig = s
+        pend.append(b)
+        if len(pend) == k:
+            yield from _flush()
+            sig = None
+    yield from _flush()
+
+
+class _GroupedLoader:
+    """Re-iterable view of _group_steps (the prefetcher restarts its loader
+    every epoch; a bare generator would be exhausted after the first)."""
+
+    def __init__(self, loader, k: int):
+        self.loader = loader
+        self.k = k
+
+    def __iter__(self):
+        return _group_steps(self.loader, self.k)
+
+
 class DevicePrefetcher:
     """Host→device double buffer (reference analogue: DataLoader workers,
     fs2/dataset.py:295-351).
@@ -72,12 +136,19 @@ class DevicePrefetcher:
 
     _SENTINEL = object()
 
-    def __init__(self, loader, mesh=None, size: int = 2):
+    def __init__(self, loader, mesh=None, size: int = 2, grouped: bool = False):
         self.loader = loader
         self.mesh = mesh
         self.size = size
+        # grouped: loader yields (n_steps, batch) pairs from _group_steps —
+        # transfer the batch, pass n_steps through untouched
+        self.grouped = grouped
 
-    def _put(self, batch):
+    def _put(self, item):
+        if self.grouped:
+            n, batch = item
+        else:
+            n, batch = 1, item
         db = _device_batch(batch)
         if self.mesh is not None:
             db = shard_batch(db, self.mesh)
@@ -85,7 +156,7 @@ class DevicePrefetcher:
             db = jax.tree_util.tree_map(
                 lambda x: jax.device_put(x) if hasattr(x, "shape") else x, db
             )
-        return db
+        return (n, db) if self.grouped else db
 
     def __iter__(self):
         if self.size <= 0:
@@ -477,6 +548,19 @@ class Trainer:
         if self.process_count > 1:
             train_step = _LockstepJit(train_step, "train")
             eval_step = _LockstepJit(eval_step, "eval")
+        steps_per_call = max(1, int(config.training.steps_per_call))
+        if steps_per_call > 1 and (self.mesh is not None or self.process_count > 1):
+            # batch stacking adds a leading axis the mesh batch shardings
+            # don't expect; single-dispatch fusion is a single-device
+            # optimization for now
+            if self.is_main:
+                print("steps_per_call > 1 requires an unsharded run; using 1")
+            steps_per_call = 1
+        multi_step = (
+            make_multi_train_step(config, self.model)
+            if steps_per_call > 1
+            else None
+        )
 
         step = int(state.step)
         epoch = int(getattr(self, "_epoch", 0) or 0)
@@ -493,9 +577,17 @@ class Trainer:
         best_monitor = float("inf")
         stale_validations = 0
         stop_early = False
-        prefetch = DevicePrefetcher(
-            loader, mesh=self.mesh, size=config.training.prefetch_batches
-        )
+        if steps_per_call > 1:
+            prefetch = DevicePrefetcher(
+                _GroupedLoader(loader, steps_per_call),
+                mesh=self.mesh,
+                size=config.training.prefetch_batches,
+                grouped=True,
+            )
+        else:
+            prefetch = DevicePrefetcher(
+                loader, mesh=self.mesh, size=config.training.prefetch_batches
+            )
         # Preemption-safe shutdown: TPU fleets reclaim VMs with SIGTERM.
         # First signal -> finish the in-flight step, checkpoint, exit 0
         # (resume picks up at the same step); handlers are restored
@@ -509,6 +601,7 @@ class Trainer:
                 val_loader, rng, step, epoch, timed_from, val_interval,
                 ckpt_steps, ckpt_epochs, es, best_monitor,
                 stale_validations, stop_early, preempt,
+                multi_step=multi_step, steps_per_call=steps_per_call,
             )
         finally:
             # an unsignalled fit must not leave the handler installed
@@ -519,69 +612,104 @@ class Trainer:
         self, state, max_steps, config, prefetch, train_step, eval_step,
         val_loader, rng, step, epoch, timed_from, val_interval,
         ckpt_steps, ckpt_epochs, es, best_monitor, stale_validations,
-        stop_early, preempt,
+        stop_early, preempt, multi_step=None, steps_per_call=1,
     ):
+        def crossed(interval, lo, hi):
+            # a multiple of `interval` lies in the step window (lo, hi]
+            return bool(interval) and hi // interval > lo // interval
+
         while step < max_steps and epoch < config.training.max_epochs and not stop_early:
             self._epoch = epoch  # checkpoints persist the live counter
-            for db in prefetch:
-                state, losses = train_step(state, db, rng, epoch)
-                # host-side step counter (train_step increments by exactly
-                # 1): fetching state.step would force a device sync every
-                # iteration, serializing dispatch — with a remote/tunneled
-                # device that made the wall step time RTT-bound. The device
-                # only syncs at the logging / validation / checkpoint
-                # cadences below.
-                step += 1
-                if preempt["flag"]:
-                    print(
-                        f"received signal {preempt['signum']}: checkpointing "
-                        f"at step {step} and exiting cleanly"
-                    )
-                    stop_early = True
-                    break
-                if timed_from is None:
-                    # steps/s excludes the first step (jit compile)
-                    timed_from = (step, time.time())
-                if step % 50 == 0 or step == 1:
-                    host = {k: float(v) for k, v in losses.items()}
-                    _guard_finite_losses(
-                        host, step, config.training.halt_on_non_finite
-                    )
-                    for k, v in host.items():
-                        self._log(f"training/{k}_loss" if k != "grad_norm" else "training/grad_norm", v, step)
-                    sps = (step - timed_from[0]) / max(
-                        time.time() - timed_from[1], 1e-9
-                    )
-                    if self.is_main:
-                        print(
-                            f"step {step} epoch {epoch} total={host['total']:.4f} "
-                            f"spec={host.get('spec', 0):.4f} ({sps:.2f} steps/s "
-                            f"excl. compile)"
+            for item in prefetch:
+                n, db = item if steps_per_call > 1 else (1, item)
+                if n > 1 and step + n > max_steps:
+                    # peel the tail group into single rows so the run stops
+                    # at exactly max_steps
+                    calls = [
+                        (
+                            1,
+                            jax.tree_util.tree_map(
+                                lambda x, i=i: x[i], db
+                            ),
                         )
-                if ckpt_steps and step % ckpt_steps == 0:
-                    self._save_ckpt(state)
-                if step % val_interval == 0 or step >= max_steps:
-                    val_losses = self.validate(state, val_loader, eval_step, epoch)
-                    for k, v in val_losses.items():
-                        self._log(f"validation/{k}_loss", v, step)
-                    self._save_ckpt(
-                        state, metrics={MONITOR: val_losses.get("total")}
-                    )
-                    if es.metric.value != "none":
-                        current = val_losses.get("total", float("inf"))
-                        if current < best_monitor - 1e-6:
-                            best_monitor = current
-                            stale_validations = 0
-                        else:
-                            stale_validations += 1
-                            if stale_validations >= es.patience:
-                                print(
-                                    f"early stopping: {MONITOR} stale for "
-                                    f"{stale_validations} validations"
-                                )
-                                stop_early = True
-                                break
-                if step >= max_steps:
+                        for i in range(max_steps - step)
+                    ]
+                else:
+                    calls = [(n, db)]
+                for n_i, db_i in calls:
+                    prev = step
+                    if n_i == 1:
+                        state, losses = train_step(state, db_i, rng, epoch)
+                        row = lambda i, _ls=losses: _ls
+                    else:
+                        state, stacked = multi_step(state, db_i, rng, epoch)
+                        row = lambda i, _st=stacked: {
+                            k: v[i] for k, v in _st.items()
+                        }
+                    # host-side step counter (each train step increments
+                    # state.step by exactly 1): fetching state.step would
+                    # force a device sync every iteration, serializing
+                    # dispatch — with a remote/tunneled device that made the
+                    # wall step time RTT-bound. The device only syncs at the
+                    # logging / validation / checkpoint cadences below.
+                    step += n_i
+                    if preempt["flag"]:
+                        print(
+                            f"received signal {preempt['signum']}: checkpointing "
+                            f"at step {step} and exiting cleanly"
+                        )
+                        stop_early = True
+                        break
+                    if timed_from is None:
+                        # steps/s excludes the first call (jit compile)
+                        timed_from = (step, time.time())
+                    for s in range(prev + 1, step + 1):
+                        if not (s % 50 == 0 or s == 1):
+                            continue
+                        host = {
+                            k: float(np.asarray(v))
+                            for k, v in row(s - prev - 1).items()
+                        }
+                        _guard_finite_losses(
+                            host, s, config.training.halt_on_non_finite
+                        )
+                        for k, v in host.items():
+                            self._log(f"training/{k}_loss" if k != "grad_norm" else "training/grad_norm", v, s)
+                        sps = (s - timed_from[0]) / max(
+                            time.time() - timed_from[1], 1e-9
+                        )
+                        if self.is_main:
+                            print(
+                                f"step {s} epoch {epoch} total={host['total']:.4f} "
+                                f"spec={host.get('spec', 0):.4f} ({sps:.2f} steps/s "
+                                f"excl. compile)"
+                            )
+                    if ckpt_steps and crossed(ckpt_steps, prev, step):
+                        self._save_ckpt(state)
+                    if crossed(val_interval, prev, step) or step >= max_steps:
+                        val_losses = self.validate(state, val_loader, eval_step, epoch)
+                        for k, v in val_losses.items():
+                            self._log(f"validation/{k}_loss", v, step)
+                        self._save_ckpt(
+                            state, metrics={MONITOR: val_losses.get("total")}
+                        )
+                        if es.metric.value != "none":
+                            current = val_losses.get("total", float("inf"))
+                            if current < best_monitor - 1e-6:
+                                best_monitor = current
+                                stale_validations = 0
+                            else:
+                                stale_validations += 1
+                                if stale_validations >= es.patience:
+                                    print(
+                                        f"early stopping: {MONITOR} stale for "
+                                        f"{stale_validations} validations"
+                                    )
+                                    stop_early = True
+                                    break
+                    if step >= max_steps:
+                        break
+                if stop_early or step >= max_steps:
                     break
             epoch += 1
             self._epoch = epoch

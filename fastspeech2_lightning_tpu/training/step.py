@@ -30,7 +30,34 @@ def _variables(state: TrainState) -> Dict[str, Any]:
 
 def make_train_step(config: FastSpeech2Config, model):
     """(state, batch, rng, epoch) -> (state, losses) — jitted, state donated."""
+    return jax.jit(_train_step_core(config, model), donate_argnums=(0,))
 
+
+def make_multi_train_step(config: FastSpeech2Config, model):
+    """k fused training steps per dispatch: (state, batches, rng, epoch) ->
+    (state, stacked losses), batches a pytree with a leading [k, ...] axis.
+
+    Why: every dispatch pays a host->device round trip; on a remote/tunneled
+    TPU that RTT (~2.3 ms/step measured at B=32) does not overlap with the
+    33 ms device step because the transport serializes execute calls. A
+    lax.scan over k steps amortizes it k-fold. The body is the SAME
+    train-step core as make_train_step — the per-step dropout stream still
+    folds on state.step, so k scanned steps produce bit-identical math to k
+    sequential dispatches (asserted in tests/test_training.py). Losses come
+    back stacked [k] so the Trainer logs exact per-step values."""
+    core = _train_step_core(config, model)
+
+    def multi_train_step(state: TrainState, batches, rng, epoch):
+        def body(st, batch):
+            st, losses = core(st, batch, rng, epoch)
+            return st, losses
+
+        return jax.lax.scan(body, state, batches)
+
+    return jax.jit(multi_train_step, donate_argnums=(0,))
+
+
+def _train_step_core(config: FastSpeech2Config, model):
     def train_step(state: TrainState, batch, rng, epoch):
         rng = jax.random.fold_in(rng, state.step)
 
@@ -77,7 +104,7 @@ def make_train_step(config: FastSpeech2Config, model):
             losses["grad_norm"] = optax.global_norm(grads)
         return new_state, losses
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return train_step
 
 
 def make_eval_step(config: FastSpeech2Config, model):

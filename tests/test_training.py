@@ -406,3 +406,82 @@ def test_async_checkpoint_matches_sync(tmp_path):
     w.save(tmp_path / "nope2", state, Boom(), None, {}, {}, ["a"])
     with pytest.raises(CheckpointError, match="boom"):
         w.wait()
+
+
+def test_multi_train_step_matches_sequential():
+    """make_multi_train_step(k) — one lax.scan dispatch — produces the same
+    final params, step count, and per-step losses as k sequential
+    make_train_step dispatches (the per-step dropout stream folds on
+    state.step either way)."""
+    from fastspeech2_lightning_tpu.training.step import make_multi_train_step
+
+    cfg = tiny_config(learn_alignment=True)
+    model = FastSpeech2(
+        config=cfg, stats=tiny_stats(), n_symbols=30, n_speakers=1,
+        n_languages=1,
+    )
+    batches = [
+        synthetic_batch(np.random.default_rng(i), B=2, L=8, T=32)
+        for i in range(3)
+    ]
+    key = jax.random.PRNGKey(5)
+    ts = make_train_step(cfg, model)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batches[0])
+    seq = []
+    for b in batches:
+        state, losses = ts(state, b, key, 0)
+        seq.append({k: float(np.asarray(v)) for k, v in losses.items()})
+    seq_params = jax.device_get(state.params)
+    seq_step = int(state.step)
+
+    ms = make_multi_train_step(cfg, model)
+    state2 = create_train_state(cfg, model, jax.random.PRNGKey(0), batches[0])
+    stacked_b = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+    state2, stacked = ms(state2, stacked_b, key, 0)
+    assert int(state2.step) == seq_step == 3
+    for i, row in enumerate(seq):
+        for k, v in row.items():
+            # XLA picks different (equally valid) f32 reduction orders
+            # inside lax.scan vs the standalone program; the drift then
+            # compounds step over step through the parameter updates, so
+            # the tolerance escalates with the step index (step 0 is pure
+            # reduction-order noise; grad_norm — a sum over every param
+            # element — is the most sensitive aggregate).
+            tol = [1e-4, 1e-3, 1e-2][i] * (10 if k == "grad_norm" else 1)
+            np.testing.assert_allclose(
+                float(np.asarray(stacked[k][i])), v, rtol=min(tol, 2e-2),
+                atol=1e-6, err_msg=f"loss {k} step {i}",
+            )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        ),
+        jax.device_get(state2.params), seq_params,
+    )
+
+
+def test_trainer_steps_per_call_matches_single(tmp_path):
+    """Trainer.fit with training.steps_per_call=2 reaches exactly max_steps
+    (odd max_steps exercises the tail-group peel) with the same final params
+    as the per-step loop."""
+    from helpers import make_training_workspace
+
+    from fastspeech2_lightning_tpu.training.loop import Trainer
+
+    params = {}
+    for k in (1, 2):
+        ws = tmp_path / f"k{k}"
+        ws.mkdir()
+        cfg = make_training_workspace(
+            ws, val_check_interval=3, steps_per_call=k, prefetch_batches=0,
+        )
+        trainer = Trainer(cfg)
+        state = trainer.fit(max_steps=5)
+        assert int(state.step) == 5
+        params[k] = jax.device_get(state.params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        params[1], params[2],
+    )
