@@ -51,6 +51,15 @@ class DiscriminatorConfig:
     # lanes, measured at 2-17 TFLOP/s on v5e — the block-matmul form is
     # what makes MSD training viable on TPU.
     msd_phase_packed: bool = True
+    # When phase-packing declines a geometry (odd-T avg-pooled scales) and
+    # groups <= 4, execute the grouped conv as a DENSE conv with a
+    # block-diagonal kernel: 4x the MACs (zeros off the diagonal) but full
+    # 128-wide MXU tiles and no [B,T,G,C/G] layout splitting — measured
+    # fwd+grad 4.36 -> 2.20 ms on the scale-2 g=4 conv (v5e). Exact
+    # (tests/test_vocoder_training.py::test_msd_block_diag_exact). NOTE:
+    # inflates XLA cost-analysis FLOPs; MFU accounting must use a plain
+    # grouped compile for the numerator (bench.py does).
+    msd_block_diag: bool = True
 
 
 # ---------------------------------------------------------------------------
@@ -75,13 +84,29 @@ def _init_wn_conv(key, shape, scale: float = 0.02) -> Dict[str, jnp.ndarray]:
     return {"v": v, "g": g, "b": jnp.zeros((shape[-1],), dtype=jnp.float32)}
 
 
-def _conv1d(x, p, stride: int = 1, groups: int = 1, phase_packed: bool = False):
+def _conv1d(
+    x, p, stride: int = 1, groups: int = 1, phase_packed: bool = False,
+    block_diag: bool = False,
+):
     """x [B, T, C] -> [B, T', Cout], SAME-style odd-kernel padding."""
     w = _wn_weight(p)  # [K, Cin/groups, Cout]
     if phase_packed and groups > 1:
         out = _phase_packed_grouped_conv(x, w, stride, groups)
         if out is not None:
             return out + p["b"]
+    if block_diag and 1 < groups <= 4:
+        # geometry that phase-packing declines (the odd-T avg-pooled MSD
+        # scales): XLA's grouped lowering at cout/groups = 32 runs at
+        # ~6% MFU — it quarter-fills the MXU's output lanes AND splits
+        # activations into [B, T, G, C/G] tiles whose 32-wide minor dim
+        # pads 4x in HBM, spraying layout copies around the custom-call.
+        # A DENSE conv with the weight scattered block-diagonally does
+        # 4x the MACs on full 128-wide tiles and still wins wall-clock:
+        # measured fwd+grad 4.36 -> 2.20 ms on [32,4097,128] k=41 g=4
+        # s=2 (v5e). At groups=16 the 16x MAC inflation loses (4.52 ->
+        # 5.27 ms), hence the gate.
+        out = _block_diag_grouped_conv(x, w, stride, groups)
+        return out + p["b"]
     k = w.shape[0]
     pad = (k - 1) // 2
     out = jax.lax.conv_general_dilated(
@@ -90,6 +115,25 @@ def _conv1d(x, p, stride: int = 1, groups: int = 1, phase_packed: bool = False):
         feature_group_count=groups,
     )
     return out + p["b"]
+
+
+def _block_diag_grouped_conv(x, w, stride: int, groups: int):
+    """Exact grouped conv as a dense conv with a block-diagonal kernel.
+
+    w [k, cin/g, cout] (out channels group-major) scatters to
+    [k, cin, cout] with group g's block at rows g*cin_g, cols g*cout_g and
+    exact zeros elsewhere — the extra MACs are multiplications by 0, so the
+    result equals the grouped conv up to f32 summation order."""
+    k, cing, cout = w.shape
+    wr = w.reshape(k, cing, groups, cout // groups)
+    eye = jnp.eye(groups, dtype=w.dtype)
+    wd = jnp.einsum("kigc,hg->khigc", wr, eye).reshape(k, groups * cing, cout)
+    pad = (k - 1) // 2
+    return jax.lax.conv_general_dilated(
+        x, wd, window_strides=(stride,), padding=[(pad, pad)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=1,
+    )
 
 
 def _phase_packed_grouped_conv(x, w, stride: int, groups: int):
@@ -111,8 +155,9 @@ def _phase_packed_grouped_conv(x, w, stride: int, groups: int):
     measured on v5e, and rejected: the full D+G step got slower (88.6 vs
     85.9 ms/step; the packed conv's wider kernel + phase transposes cost
     more than XLA's plain grouped lowering on the small odd scales), so
-    the even-T gate below deliberately routes scales 2/3 to the plain
-    conv."""
+    the even-T gate below deliberately declines scales 2/3 — which then
+    run block-diag dense when groups <= 4 (see _conv1d), plain grouped
+    otherwise."""
     k, cg, cout = w.shape
     coutg = cout // groups
     u = max(1, 128 // coutg)
@@ -125,9 +170,23 @@ def _phase_packed_grouped_conv(x, w, stride: int, groups: int):
     t_out = T // stride
     wk = (u - 1) * stride + k
     wr = w.reshape(k, cg, groups, coutg)
-    wp = jnp.zeros((wk, cg, groups, u, coutg), w.dtype)
-    for phase in range(u):
-        wp = wp.at[phase * stride : phase * stride + k, :, :, phase, :].set(wr)
+    # one pad per phase + a stack: a single concatenate fusion. The previous
+    # .at[].set chain lowered to u serialized dynamic-update-slices on the
+    # widened buffer EVERY step (weight-norm recomputes w), profiled at
+    # ~0.66 ms/step for one [42,64,16,2,64] weight alone.
+    wp = jnp.stack(
+        [
+            jnp.pad(
+                wr,
+                (
+                    (phase * stride, wk - k - phase * stride),
+                    (0, 0), (0, 0), (0, 0),
+                ),
+            )
+            for phase in range(u)
+        ],
+        axis=3,
+    )
     wp = wp.reshape(wk, cg, groups * u * coutg)
     y = jax.lax.conv_general_dilated(
         x, wp, window_strides=(u * stride,), padding=[(pad, pad_hi)],
@@ -252,6 +311,7 @@ def _msd_sub(params: Dict, wav: jnp.ndarray, config: DiscriminatorConfig):
         x = _conv1d(
             x, conv, stride=config.msd_strides[j], groups=groups,
             phase_packed=config.msd_phase_packed,
+            block_diag=config.msd_block_diag,
         )
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         feats.append(x)

@@ -403,7 +403,6 @@ def test_msd_phase_packed_exact():
 
     from fastspeech2_lightning_tpu.models.hifigan_discriminators import (
         _phase_packed_grouped_conv,
-        msd_forward,
     )
 
     rng = np.random.default_rng(0)
@@ -445,4 +444,35 @@ def test_msd_phase_packed_exact():
     for a, b in zip(s_on, s_off):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_msd_block_diag_exact():
+    """The block-diagonal dense execution strategy for small-group grouped
+    convs (the odd-T MSD scales where phase-packing declines) equals the
+    plain grouped conv: the scattered kernel's off-diagonal blocks are
+    exact zeros, so only f32 summation order differs."""
+    from fastspeech2_lightning_tpu.models.hifigan_discriminators import (
+        _block_diag_grouped_conv,
+    )
+
+    rng = np.random.default_rng(0)
+    for (T, C, cout, k, s, g) in [
+        (1025, 128, 128, 41, 2, 4),  # the scale-2/3 geometry it serves
+        (513, 128, 128, 41, 2, 2),
+        (255, 64, 128, 15, 1, 4),
+    ]:
+        x = jnp.asarray(rng.standard_normal((2, T, C)).astype(np.float32))
+        w = jnp.asarray(
+            rng.standard_normal((k, C // g, cout)).astype(np.float32) * 0.05
+        )
+        pad = (k - 1) // 2
+        want = jax.lax.conv_general_dilated(
+            x, w, (s,), [(pad, pad)],
+            dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=g,
+        )
+        got = _block_diag_grouped_conv(x, w, s, g)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
         )
