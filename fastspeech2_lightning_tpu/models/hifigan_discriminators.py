@@ -94,19 +94,29 @@ def _conv1d(
         out = _phase_packed_grouped_conv(x, w, stride, groups)
         if out is not None:
             return out + p["b"]
-    if block_diag and 1 < groups <= 4:
+    if block_diag and groups > 1:
         # geometry that phase-packing declines (the odd-T avg-pooled MSD
-        # scales): XLA's grouped lowering at cout/groups = 32 runs at
-        # ~6% MFU — it quarter-fills the MXU's output lanes AND splits
-        # activations into [B, T, G, C/G] tiles whose 32-wide minor dim
-        # pads 4x in HBM, spraying layout copies around the custom-call.
-        # A DENSE conv with the weight scattered block-diagonally does
-        # 4x the MACs on full 128-wide tiles and still wins wall-clock:
-        # measured fwd+grad 4.36 -> 2.20 ms on [32,4097,128] k=41 g=4
-        # s=2 (v5e). At groups=16 the 16x MAC inflation loses (4.52 ->
-        # 5.27 ms), hence the gate.
-        out = _block_diag_grouped_conv(x, w, stride, groups)
-        return out + p["b"]
+        # scales): XLA's grouped lowering at cout/groups < 128 runs at
+        # ~6% MFU — it under-fills the MXU's output lanes AND splits
+        # activations into [B, T, G, C/G] tiles whose narrow minor dim
+        # pads up in HBM, spraying layout copies around the custom-call.
+        # Instead run feature_group_count=m (the largest divisor of
+        # `groups` whose per-macro-group output width cout/m still fills
+        # 128 lanes) with the kernel scattered block-diagonally WITHIN
+        # each macro group: groups/m x the MACs (zeros off the diagonal)
+        # on full tiles. m=1 is a plain dense conv — measured fwd+grad
+        # 4.36 -> 2.20 ms on [32,4097,128] k=41 g=4 s=2 (v5e). The
+        # inflation gate keeps geometries where the extra MACs lose
+        # (g=16 full-dense measured 4.52 -> 5.27 ms) on XLA's grouped
+        # path.
+        cout = w.shape[2]
+        m = 0
+        for d in range(1, groups + 1):
+            if groups % d == 0 and cout // d >= 128:
+                m = d
+        if m and groups // m <= 8:
+            out = _block_diag_grouped_conv(x, w, stride, groups, m)
+            return out + p["b"]
     k = w.shape[0]
     pad = (k - 1) // 2
     out = jax.lax.conv_general_dilated(
@@ -117,22 +127,29 @@ def _conv1d(
     return out + p["b"]
 
 
-def _block_diag_grouped_conv(x, w, stride: int, groups: int):
-    """Exact grouped conv as a dense conv with a block-diagonal kernel.
+def _block_diag_grouped_conv(x, w, stride: int, groups: int, m: int = 1):
+    """Exact grouped conv as an m-way grouped conv (m divides `groups`)
+    with a block-diagonal kernel inside each macro group.
 
     w [k, cin/g, cout] (out channels group-major) scatters to
-    [k, cin, cout] with group g's block at rows g*cin_g, cols g*cout_g and
-    exact zeros elsewhere — the extra MACs are multiplications by 0, so the
-    result equals the grouped conv up to f32 summation order."""
+    [k, cin/m, cout]: macro group h covers original groups h*sub..,
+    sub = groups//m; within it, group j's block sits at rows
+    (j-h*sub)*cin_g, cols j*cout_g and exact zeros elsewhere — the extra
+    MACs are multiplications by 0, so the result equals the grouped conv
+    up to f32 summation order. m=1 degenerates to one dense conv."""
     k, cing, cout = w.shape
-    wr = w.reshape(k, cing, groups, cout // groups)
-    eye = jnp.eye(groups, dtype=w.dtype)
-    wd = jnp.einsum("kigc,hg->khigc", wr, eye).reshape(k, groups * cing, cout)
+    sub = groups // m
+    coutg = cout // groups
+    wr = w.reshape(k, cing, m, sub, coutg)
+    eye = jnp.eye(sub, dtype=w.dtype)
+    # [k, r(sub rows), i(cing), h(m), s(sub cols), c(coutg)], r==s kept
+    wd = jnp.einsum("kihsc,rs->krihsc", wr, eye)
+    wd = wd.reshape(k, sub * cing, cout)
     pad = (k - 1) // 2
     return jax.lax.conv_general_dilated(
         x, wd, window_strides=(stride,), padding=[(pad, pad)],
         dimension_numbers=("NWC", "WIO", "NWC"),
-        feature_group_count=1,
+        feature_group_count=m,
     )
 
 

@@ -457,10 +457,15 @@ def test_msd_block_diag_exact():
     )
 
     rng = np.random.default_rng(0)
-    for (T, C, cout, k, s, g) in [
-        (1025, 128, 128, 41, 2, 4),  # the scale-2/3 geometry it serves
-        (513, 128, 128, 41, 2, 2),
-        (255, 64, 128, 15, 1, 4),
+    for (T, C, cout, k, s, g, m) in [
+        (1025, 128, 128, 41, 2, 4, 1),  # the scale-2/3 geometry it serves
+        (513, 128, 128, 41, 2, 2, 1),
+        (255, 64, 128, 15, 1, 4, 1),
+        # macro form: fgc=m, block-diag within each macro group
+        (1025, 128, 256, 41, 2, 16, 2),  # MSD L2 odd-scale geometry
+        (513, 256, 512, 41, 4, 16, 4),  # MSD L3
+        (129, 512, 1024, 41, 4, 16, 8),  # MSD L4
+        (65, 1024, 1024, 41, 1, 16, 8),  # MSD L5
     ]:
         x = jnp.asarray(rng.standard_normal((2, T, C)).astype(np.float32))
         w = jnp.asarray(
@@ -471,7 +476,7 @@ def test_msd_block_diag_exact():
             x, w, (s,), [(pad, pad)],
             dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=g,
         )
-        got = _block_diag_grouped_conv(x, w, s, g)
+        got = _block_diag_grouped_conv(x, w, s, g, m)
         assert got.shape == want.shape
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
