@@ -90,25 +90,25 @@ def _conv1d(
 ):
     """x [B, T, C] -> [B, T', Cout], SAME-style odd-kernel padding."""
     w = _wn_weight(p)  # [K, Cin/groups, Cout]
-    if phase_packed and groups > 1:
-        out = _phase_packed_grouped_conv(x, w, stride, groups)
-        if out is not None:
-            return out + p["b"]
     if block_diag and groups > 1:
-        # geometry that phase-packing declines (the odd-T avg-pooled MSD
-        # scales): XLA's grouped lowering at cout/groups < 128 runs at
-        # ~6% MFU — it under-fills the MXU's output lanes AND splits
-        # activations into [B, T, G, C/G] tiles whose narrow minor dim
-        # pads up in HBM, spraying layout copies around the custom-call.
-        # Instead run feature_group_count=m (the largest divisor of
-        # `groups` whose per-macro-group output width cout/m still fills
-        # 128 lanes) with the kernel scattered block-diagonally WITHIN
-        # each macro group: groups/m x the MACs (zeros off the diagonal)
-        # on full tiles. m=1 is a plain dense conv — measured fwd+grad
-        # 4.36 -> 2.20 ms on [32,4097,128] k=41 g=4 s=2 (v5e). The
-        # inflation gate keeps geometries where the extra MACs lose
-        # (g=16 full-dense measured 4.52 -> 5.27 ms) on XLA's grouped
-        # path.
+        # XLA's grouped lowering at cout/groups < 128 runs at ~6% MFU —
+        # it under-fills the MXU's output lanes AND splits activations
+        # into [B, T, G, C/G] tiles whose narrow minor dim pads up in
+        # HBM, spraying layout copies around the custom-call. Instead run
+        # feature_group_count=m (the largest divisor of `groups` whose
+        # per-macro-group output width cout/m still fills 128 lanes) with
+        # the kernel scattered block-diagonally WITHIN each macro group:
+        # groups/m x the MACs (zeros off the diagonal) on full 128-wide
+        # output tiles AND full cin/m contraction depth. Tried FIRST —
+        # a per-geometry fwd+bwd sweep over every MSD grouped conv
+        # (B=32, all three scales, v5e) measured macro <= phase-packed
+        # almost everywhere (e.g. g=16 cin=256 T=2048: 0.11 vs 0.43 ms;
+        # g=4 T=8192: 0.12 vs 0.15 ms; plain grouped: 17-33 ms), and
+        # unlike phase-packing it needs no output phase transposes —
+        # which showed up as ~12 ms/step of pure layout copies in the
+        # full D+G trace. The inflation gate (sub = groups/m <= 8) keeps
+        # geometries where the MAC inflation could lose on XLA's
+        # grouped path; every HiFiGAN MSD geometry passes it.
         cout = w.shape[2]
         m = 0
         for d in range(1, groups + 1):
@@ -116,6 +116,10 @@ def _conv1d(
                 m = d
         if m and groups // m <= 8:
             out = _block_diag_grouped_conv(x, w, stride, groups, m)
+            return out + p["b"]
+    if phase_packed and groups > 1:
+        out = _phase_packed_grouped_conv(x, w, stride, groups)
+        if out is not None:
             return out + p["b"]
     k = w.shape[0]
     pad = (k - 1) // 2
