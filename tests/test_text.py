@@ -89,21 +89,34 @@ def test_chunk_text_hard_wrap_no_boundaries():
     assert sum(len(c) for c in chunks) == 500
 
 
-def test_pfs_table_matches_committed_golden():
-    """When a panphon-generated golden is committed (tools/pfs_golden.py
-    generate), the bundled articulatory table must match it exactly. Skips
-    until a golden exists — this sandbox has neither panphon nor its data."""
+def _load_pfs_golden_tool():
     import importlib.util
     import pathlib
-
-    import pytest
 
     tool = pathlib.Path(__file__).parents[1] / "tools" / "pfs_golden.py"
     spec = importlib.util.spec_from_file_location("pfs_golden", tool)
     pg = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(pg)
-    report = pg.compare()
-    if report is None:
-        pytest.skip("no pfs golden committed (needs a panphon environment)")
+    return pg
+
+
+def test_pfs_table_matches_committed_golden():
+    """The bundled articulatory table must match the committed partial
+    golden — 35 common IPA segments' feature cells hand-transcribed from the
+    published panphon/Hayes chart (tests/data/pfs_golden_partial.json) — on
+    every cell the golden specifies. Re-provides the numerical contract of
+    everyvoice's panphon-derived pfs space (fs2/model.py:77-89)."""
+    pg = _load_pfs_golden_tool()
+    report = pg.compare_partial()
+    assert len(report) >= 30  # the golden really covers a broad inventory
     bad = {k: v for k, v in report.items() if v}
     assert not bad, bad
+
+    # When a panphon-generated FULL golden is also committed
+    # (tools/pfs_golden.py generate, needs a panphon environment), the table
+    # must match it exactly too; absent that file this is a no-op and the
+    # hand golden above carries the coverage.
+    full = pg.compare()
+    if full is not None:
+        bad = {k: v for k, v in full.items() if v}
+        assert not bad, bad

@@ -85,6 +85,33 @@ def compare():
     return report
 
 
+PARTIAL_GOLDEN = (
+    Path(__file__).resolve().parents[1] / "tests" / "data"
+    / "pfs_golden_partial.json"
+)
+
+
+def compare_partial():
+    """Check the bundled table against the hand-transcribed partial golden.
+
+    The partial golden (tests/data/pfs_golden_partial.json) is sparse: each
+    segment carries only the feature cells transcribed with high confidence
+    from the published panphon/Hayes chart. Returns
+    {symbol: [(feature, bundled, golden), ...]} over those cells only.
+    """
+    data = json.loads(PARTIAL_GOLDEN.read_text())
+    report = {}
+    for sym, cells in data["segments"].items():
+        got = F._bundled_features(sym)
+        diffs = [
+            (name, int(got[F.FEATURE_NAMES.index(name)]), int(want))
+            for name, want in cells.items()
+            if int(got[F.FEATURE_NAMES.index(name)]) != int(want)
+        ]
+        report[sym] = diffs
+    return report
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "verify"
     if cmd == "generate":
