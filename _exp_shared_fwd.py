@@ -89,11 +89,11 @@ def make_shared_fwd_step(gen_config, disc_config, tc, audio_config, opt_g, opt_d
 
 def bench(step, state, batch, reps=30):
     state, losses = step(state, batch)
-    float(np.asarray(losses["g"]))
+    jax.block_until_ready(state)
     t0 = time.perf_counter()
     for _ in range(reps):
         state, losses = step(state, batch)
-    float(np.asarray(losses["g"]))
+    jax.block_until_ready(state)  # losses alone miss the final opt apply
     dt = (time.perf_counter() - t0) / reps * 1000
     return dt, {k: float(np.asarray(v)) for k, v in losses.items()}
 

@@ -201,7 +201,7 @@ class Synthesizer:
             )
         if not hasattr(self, "_encode_cache"):
             self._encode_cache = {}
-        encoded = encode_texts_for_model(
+        encoded, pfs_mats = encode_texts_for_model(
             texts, language, self.config, self.text_processor,
             self._encode_cache,
         )
@@ -222,6 +222,14 @@ class Synthesizer:
             "speaker_id": np.full(B, spk_id, dtype=np.int32),
             "language_id": np.full(B, lang_id, dtype=np.int32),
         }
+        if pfs_mats is not None:
+            # pfs-level model: the forward consumes batch["pfs"] through the
+            # bias-free Linear input layer (fs2/model.py:72-89 parity)
+            nf = pfs_mats[0].shape[1]
+            pfs = np.zeros((B, L, nf), dtype=np.float32)
+            for i, m in enumerate(pfs_mats):
+                pfs[i, : min(len(m), L)] = m[:L]
+            batch["pfs"] = pfs
         if style_reference is not None:
             # GST conditioning on a reference wav (CLI --style-reference
             # parity; fs2/cli/synthesize.py:289-311)

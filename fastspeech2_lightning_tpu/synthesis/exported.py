@@ -153,11 +153,22 @@ def export_serving_artifact(
     batch_sizes = sorted({int(b) for b in batch_sizes})
     mel_key = "postnet_output" if config.model.use_postnet else "output"
 
+    from ..config import TargetTrainingTextRepresentationLevel as _Level
+
+    is_pfs = (
+        config.model.target_text_representation_level
+        == _Level.phonological_features
+    )
+
     def acoustic_fn(max_target_len: int):
+        # pfs-level models take the [B, L, N_PHONOLOGICAL_FEATURES] feature
+        # matrix as the text argument (the forward reads batch["pfs"], never
+        # batch["text"], at that level — fs2/model.py:72-89 parity)
         def fn(vars_, text, src_lens, speaker_id, language_id,
                pitch, energy, duration):
             batch = {
-                "text": text,
+                "text": None if is_pfs else text,
+                "pfs": text if is_pfs else None,
                 "src_lens": src_lens,
                 "mel": None,
                 "mel_lens": None,
@@ -191,11 +202,20 @@ def export_serving_artifact(
             shapes.append((B, L, _frame_bucket(L, cap)))
         if _frame_bucket(text_buckets[-1], cap) < cap:
             shapes.append((B, text_buckets[-1], cap))
+    if is_pfs:
+        from ..text.features import N_PHONOLOGICAL_FEATURES
+
+        def _text_spec(B, L):
+            return _spec((B, L, N_PHONOLOGICAL_FEATURES), np.float32)
+    else:
+        def _text_spec(B, L):
+            return _spec((B, L), np.int32)
+
     for B, L, T in shapes:
         fn = jax.jit(acoustic_fn(T))
         exp = jexport.export(fn, platforms=list(platforms) if platforms else None)(
             var_specs,
-            _spec((B, L), np.int32),
+            _text_spec(B, L),
             _spec((B,), np.int32),
             _spec((B,), np.int32),
             _spec((B,), np.int32),
@@ -407,9 +427,22 @@ class ExportedSynthesizer:
         """Execute every exported program once (deserialize + first XLA
         compile off the request path). batch_size is ignored — the program
         set is fixed at export time."""
+        from ..config import TargetTrainingTextRepresentationLevel as _Level
+
+        is_pfs = (
+            self.config.model.target_text_representation_level
+            == _Level.phonological_features
+        )
         n = 0
         for e in self.meta["acoustic"]:
-            text = np.ones((e["B"], e["L"]), dtype=np.int32)
+            if is_pfs:
+                from ..text.features import N_PHONOLOGICAL_FEATURES
+
+                text = np.zeros(
+                    (e["B"], e["L"], N_PHONOLOGICAL_FEATURES), dtype=np.float32
+                )
+            else:
+                text = np.ones((e["B"], e["L"]), dtype=np.int32)
             self._call(e["file"])(
                 self.variables, text,
                 np.full(e["B"], e["L"], dtype=np.int32),
@@ -498,7 +531,7 @@ class ExportedSynthesizer:
             )
         if not hasattr(self, "_encode_cache"):
             self._encode_cache = {}
-        encoded = encode_texts_for_model(
+        encoded, pfs_mats = encode_texts_for_model(
             texts, language, self.config, self.text_processor,
             self._encode_cache,
         )
@@ -531,11 +564,19 @@ class ExportedSynthesizer:
 
         def run(entry):
             eB, eL = entry["B"], entry["L"]
-            text = np.zeros((eB, eL), dtype=np.int32)
             lens = np.ones(eB, dtype=np.int32)  # pad rows: 1 token
-            for i, e in enumerate(encoded):
-                text[i, : len(e)] = e[:eL]
-                lens[i] = len(e)
+            if pfs_mats is not None:
+                # pfs program: the text argument is the feature matrix
+                nf = pfs_mats[0].shape[1]
+                text = np.zeros((eB, eL, nf), dtype=np.float32)
+                for i, m in enumerate(pfs_mats):
+                    text[i, : min(len(m), eL)] = m[:eL]
+                    lens[i] = len(encoded[i])
+            else:
+                text = np.zeros((eB, eL), dtype=np.int32)
+                for i, e in enumerate(encoded):
+                    text[i, : len(e)] = e[:eL]
+                    lens[i] = len(e)
             lang_id = self.lang2id.get(language or "", 0) if language else 0
             spk_id = self.speaker2id.get(speaker or "", 0) if speaker else 0
             return self._call(entry["file"])(

@@ -109,12 +109,18 @@ def encode_texts_for_model(
     text_processor,
     cache: dict,
 ):
-    """Per-text id arrays honoring model.target_text_representation_level —
+    """Per-text encodings honoring model.target_text_representation_level —
     the serving-path analogue of FastSpeechDataset._encode_text (which runs
     g2p for phones-trained models, fs2/dataset.py:88-98 parity). Character
     models tokenize directly; phones models g2p each text for `language`
     first (a bare encode_text would feed characters to a phone-trained
-    embedding). `cache` holds the lazily-built Preprocessor across calls."""
+    embedding); pfs models additionally featurize the g2p tokens through the
+    same articulatory table the dataset path uses (fs2/dataset.py:155-174 —
+    the reference serves every representation level through one predict
+    path). Returns `(ids, pfs)`: `ids` is a list of int32 arrays; `pfs` is a
+    matching list of [T, N_PHONOLOGICAL_FEATURES] float32 matrices for pfs
+    models and None otherwise. `cache` holds the lazily-built Preprocessor
+    across calls."""
     import numpy as np
 
     from ..config import TargetTrainingTextRepresentationLevel as Level
@@ -124,30 +130,38 @@ def encode_texts_for_model(
         return [
             np.asarray(text_processor.encode_text(t), dtype=np.int32)
             for t in texts
-        ]
-    if level == Level.phonological_features:
-        raise NotImplementedError(
-            "serving a phonological_features-level model through the "
-            "resident API is not supported yet — use `fs2t synthesize` "
-            "(the dataset path builds the pfs inputs)"
-        )
+        ], None
+    use_pfs = level == Level.phonological_features
     pre = cache.get("preprocessor")
     if pre is None:
         from ..preprocessing.pipeline import Preprocessor
 
         pre = cache["preprocessor"] = Preprocessor(config)
-    out = []
+    ids, pfs_mats = [], []
     for t in texts:
-        _ch, phone_tokens, _pfs = pre.process_text(
+        char_tokens, phone_tokens, _pfs = pre.process_text(
             {"text": t, "language": language or "default"}
         )
-        out.append(
+        # token stream for ids mirrors the featurized stream in pfs mode
+        # (pipeline.process_text featurizes `phone_tokens or character_tokens`)
+        tokens = (phone_tokens or char_tokens) if use_pfs else phone_tokens
+        if use_pfs:
+            # encode_tokens drops out-of-inventory tokens; featurize the SAME
+            # filtered stream so pfs row i always matches token id i
+            from ..text.features import get_features_for_tokens
+
+            kept = [
+                t for t in (tokens or [])
+                if t in text_processor.symbol_to_id
+            ]
+            pfs_mats.append(get_features_for_tokens(kept))
+            tokens = kept
+        ids.append(
             np.asarray(
-                text_processor.encode_tokens(phone_tokens or []),
-                dtype=np.int32,
+                text_processor.encode_tokens(tokens or []), dtype=np.int32
             )
         )
-    return out
+    return ids, (pfs_mats if use_pfs else None)
 
 
 def prepare_data(

@@ -53,7 +53,18 @@ def stub_config(**model_overrides) -> FastSpeech2Config:
 def _stub_train_batch(config: FastSpeech2Config, B=2, L=8, T=24):
     rng = np.random.default_rng(0)
     prior = np.full((B, T, L), 1.0 / L, dtype=np.float32)
+    extra = {}
+    if (
+        config.model.target_text_representation_level.value
+        == "phonological_features"
+    ):
+        from .text.features import N_PHONOLOGICAL_FEATURES
+
+        extra["pfs"] = rng.standard_normal(
+            (B, L, N_PHONOLOGICAL_FEATURES)
+        ).astype(np.float32)
     return {
+        **extra,
         "text": rng.integers(8, 20, size=(B, L)).astype(np.int32),
         "src_lens": np.full(B, L, dtype=np.int32),
         "mel": rng.standard_normal(

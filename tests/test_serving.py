@@ -280,3 +280,34 @@ def test_stats_endpoint(tmp_path):
         assert "request_errors" not in stats
     finally:
         srv.shutdown()
+
+
+def test_serve_pfs_level_model(tmp_path):
+    """A phonological_features-level model serves through the HTTP server:
+    the request path builds pfs matrices via the same articulatory table the
+    dataset path uses (parity with the reference's single predict path,
+    fs2/dataset.py:155-174)."""
+    import io
+
+    from fastspeech2_lightning_tpu.serving.server import serve
+    from fastspeech2_lightning_tpu.testing import stub_config
+
+    cfg = stub_config(
+        target_text_representation_level="phonological_features"
+    )
+    cfg.text.g2p_engines = {"default": "english"}
+    _, ckpt = get_stubbed_model(tmp_path, config=cfg)
+    srv = serve(ckpt, port=0, max_batch=4, max_frames=64)
+    try:
+        srv.start()
+        base = f"http://{srv.address[0]}:{srv.address[1]}"
+        body = json.dumps({"text": "abc", "format": "mel"}).encode()
+        req = urllib.request.Request(
+            f"{base}/synthesize", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            mel = np.load(io.BytesIO(resp.read()))
+        assert mel.ndim == 2 and mel.shape[0] > 0
+    finally:
+        srv.shutdown()

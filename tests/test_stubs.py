@@ -127,6 +127,31 @@ def test_synthesizer_phones_level_runs_g2p(tmp_path):
     )
 
 
+def test_synthesizer_pfs_level_serves(tmp_path):
+    """Serving a phonological_features-trained model through the resident
+    API must build the pfs input matrices the same way the dataset path does
+    (the reference serves every representation level through its one predict
+    path, fs2/dataset.py:155-174). Durations come back per g2p token, so the
+    model really consumed one pfs row per token."""
+    from fastspeech2_lightning_tpu.synthesis.api import Synthesizer
+    from fastspeech2_lightning_tpu.testing import stub_config
+    from fastspeech2_lightning_tpu.text.g2p import english_g2p
+
+    cfg = stub_config(
+        target_text_representation_level="phonological_features"
+    )
+    cfg.text.g2p_engines = {"default": "english"}
+    _, ckpt = get_stubbed_model(tmp_path / "m", config=cfg)
+    synth = Synthesizer.from_checkpoint(ckpt, max_frames=64)
+    r = synth.synthesize(["abc def"], vocode=False)
+    assert r.mels[0].ndim == 2
+    tp = synth.text_processor
+    n_tokens = len(
+        [t for t in english_g2p("abc def") if t in tp.symbol_to_id]
+    )
+    assert len(r.durations[0]) == n_tokens
+
+
 def test_synthesizer_upsampling_vocoder_hop(tmp_path):
     """A vocoder whose total upsampling != the analysis fft_hop_size (an
     output-rate-upsampling generator, e.g. 44.1 kHz audio from 22.05 kHz
