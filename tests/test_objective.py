@@ -62,6 +62,72 @@ def test_stoi_monotone_in_noise():
     assert clean_score > scores[0] > scores[1] > scores[2]
 
 
+def test_stoi_exactly_one_for_gain_scaled_signal():
+    """Analytic anchor: per-band segment normalization undoes any global
+    gain, so degraded = a*clean (a>0) must score STOI == 1.0 exactly —
+    every band correlation is 1 by construction (Taal et al. 2010, eq. 5:
+    the normalized clipped band envelope equals the clean one)."""
+    s = _speechlike(seconds=1.2, seed=3)
+    for a in (0.3, 1.0, 4.2):
+        # 1e-6 tolerance: the implementation's 1e-12 division epsilons
+        # keep the correlations a few ulp under exactly 1
+        assert abs(stoi(s, a * s, SR) - 1.0) < 1e-6, a
+
+
+def test_stoi_band_matrix_covers_spec():
+    """The 15 one-third-octave bands start at 150 Hz and stay below the
+    10 kHz-analysis Nyquist (Taal et al. 2010 §II.A) — every band must be
+    non-empty and the top band edge < 5000 Hz."""
+    from fastspeech2_lightning_tpu.preprocessing.objective import (
+        _MIN_FREQ,
+        _N_BANDS,
+        _third_octave_matrix,
+    )
+
+    mat = _third_octave_matrix(10000)
+    assert mat.shape[0] == _N_BANDS == 15
+    assert (mat.sum(axis=1) > 0).all(), "empty one-third-octave band"
+    top_edge = _MIN_FREQ * 2.0 ** ((_N_BANDS - 1) / 3.0) * 2.0 ** (1.0 / 6.0)
+    assert top_edge < 5000.0  # ≈ 4276 Hz: inside Nyquist
+
+
+def test_stoi_ignores_out_of_band_energy():
+    """Analytic anchor for the band analysis: a 4.8 kHz tone lies above the
+    top band edge (≈4276 Hz) but below the 5 kHz Nyquist, so adding it to
+    the degraded arm must leave STOI at 1.0 — none of the 15 bands see it."""
+    # work at the 10 kHz analysis rate directly so no resampling smears
+    # the tone (the internal resampler is identity at sr == 10000)
+    sr = 10000
+    rng = np.random.default_rng(4)
+    t = np.arange(int(1.2 * sr)) / sr
+    f0 = 140 + 20 * np.sin(2 * np.pi * 2.1 * t)
+    # broadband harmonic stack (up to ~3.9 kHz) so every one-third-octave
+    # band carries real signal energy — empty bands would correlate noise
+    sig = sum(
+        (0.5 / np.sqrt(k)) * np.sin(2 * np.pi * k * np.cumsum(f0) / sr)
+        for k in range(1, 29)
+    )
+    env = 0.5 * (1 + np.sin(2 * np.pi * 4 * t + rng.uniform(0, 6.28)))
+    s = sig * env
+    tone = 0.3 * np.sin(2 * np.pi * 4800.0 * t)
+    score = stoi(s, s + tone, sr)
+    assert score > 0.97, score
+
+
+def test_stoi_uncorrelated_noise_scores_low():
+    """Analytic anchor: degraded = independent noise has zero expected raw
+    band-envelope correlation with the clean arm. STOI's −15 dB clipping
+    stage (Taal 2010 eq. 4) re-introduces a small positive correlation by
+    pinning the degraded envelope to the clean one where clean is loud, so
+    published behavior for noise-only inputs is a small positive score
+    (≲0.35), far below any intelligible-speech value."""
+    rng = np.random.default_rng(5)
+    s = _speechlike(seconds=1.5, seed=6)
+    noise = rng.standard_normal(len(s)) * np.std(s)
+    score = stoi(s, noise, SR)
+    assert -0.05 < score < 0.4, score
+
+
 def test_estimate_quality_flags_noisy_audio():
     rng = np.random.default_rng(2)
     clean = _speechlike(seconds=1.2)
