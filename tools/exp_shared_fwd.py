@@ -1,7 +1,24 @@
 """Measure: share ONE generator forward between the D and G updates via
 jax.vjp, vs the shipped step's two g_forward calls (stop-gradded for D,
 re-traced under grad for G). Mathematically identical (gen params unchanged
-between the two uses; torch HiFiGAN reuses y_g_hat the same way)."""
+between the two uses; torch HiFiGAN reuses y_g_hat the same way).
+
+MEASURED RESULT (2026-08-20, single v5e chip, B=16 x 32-frame crops,
+bf16 compute, bench.py-style forced-fetch median timing):
+
+    baseline (two g_forward in one jit): 57.82 ms/step
+    shared-vjp (one g_forward):          57.49 ms/step
+    losses: bit-identical at every step (d/g/fm/g_adv/mel_l1)
+
+CONCLUSION — NEUTRAL, not landed. Both g_forward calls live in the SAME
+jit program with identical inputs (params untouched between them), so XLA
+common-subexpression elimination already merges them; the vjp restructure
+saves nothing and would hold the generator's vjp residuals across the
+whole D update, raising peak activation memory. The shipped two-forward
+step in training/vocoder.py stays. (An earlier run that timed
+block_until_ready on the donated output state read 2.9 ms/step for the
+baseline — the tunnel acks donated-alias buffers before execution
+finishes; see bench() below for the forced-fetch harness.)"""
 import time
 import numpy as np
 import jax
@@ -87,22 +104,43 @@ def make_shared_fwd_step(gen_config, disc_config, tc, audio_config, opt_g, opt_d
     return jax.jit(step, donate_argnums=(0,))
 
 
-def bench(step, state, batch, reps=30):
-    state, losses = step(state, batch)
-    jax.block_until_ready(state)
-    t0 = time.perf_counter()
-    for _ in range(reps):
+def bench(step, state, batch, reps=20, trials=4):
+    """Mirror bench.py's measure_vocoder_training timing: the loss fetch
+    INSIDE the timed window forces the chained steps (block_until_ready on
+    donated-alias buffers can ack early over the tunnel — observed 2.9 ms
+    for a ~68 ms step); median of trials rejects stray fast acks."""
+    for _ in range(3):
         state, losses = step(state, batch)
-    jax.block_until_ready(state)  # losses alone miss the final opt apply
-    dt = (time.perf_counter() - t0) / reps * 1000
+    assert np.isfinite(float(np.asarray(losses["g"])))
+    times = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, losses = step(state, batch)
+        final = float(np.asarray(losses["g"]))  # forces the chain
+        times.append(time.perf_counter() - t0)
+        assert np.isfinite(final)
+    dt = sorted(times)[len(times) // 2] / reps * 1000
     return dt, {k: float(np.asarray(v)) for k, v in losses.items()}
 
 
 def main():
-    gen_config = HiFiGANConfig()
+    from bench import _enable_compile_cache
+
+    _enable_compile_cache()
+    # exactly the bench.py measure_vocoder_training() model config so the
+    # baseline step comes out of the persistent compile cache
+    from __graft_entry__ import _flagship_config
+
+    flagship_audio = _flagship_config().preprocessing.audio
+    gen_config = HiFiGANConfig(
+        n_mels=flagship_audio.n_mels,
+        sampling_rate=flagship_audio.output_sampling_rate,
+        hop_size=flagship_audio.fft_hop_size,
+    )
     disc_config = DiscriminatorConfig()
     tc = VocoderTrainingConfig(batch_size=16, frames_per_crop=32)
-    audio = _voc_audio(gen_config)
+    audio = flagship_audio
     rng = np.random.default_rng(0)
     hop = gen_config.total_upsampling
     batch = {
