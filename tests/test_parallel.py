@@ -69,8 +69,9 @@ def test_param_rules_target_big_matmuls():
     assert any("qkv/kernel" in h for h in hits)
 
 
-@pytest.mark.slow
 def test_train_step_dp_matches_single_device():
+    # default-suite gate (round-4 verdict #5): ~23 s with a warm
+    # .jax_cache; the first cold run pays the XLA compiles once
     cfg, model, state, batch = build_state_and_batch()
     ts = make_train_step(cfg, model)
     # single device
@@ -138,7 +139,6 @@ def test_train_step_tensor_parallel_executes():
     assert len(_model_sharded_leaves(new_state.opt_state)) >= 2
 
 
-@pytest.mark.slow
 def test_train_step_tensor_parallel_matches_single_device():
     """TP TRAIN step == single-device train step, per loss AND updated
     params — the smoke test above only asserts a finite loss, which a

@@ -1,0 +1,156 @@
+"""Measure that a trained conditioned model actually conditions.
+
+Round-4 verdict, missing #1: multi-speaker / multilingual / GST paths were
+unit- and parity-tested but never trained to quality, so a conditioning bug
+visible only under training dynamics (embedding collapse, GST leaking
+duration) would go unseen. This tool closes the loop on a trained
+checkpoint from the `--conditioned` corpus (tools/make_corpus.py):
+
+* speaker check   — the same text synthesized as `low` vs `high` must
+  shift mean voiced F0 by roughly the corpus's designed register ratio
+  (~1.6x) with the formant scale audible in the spectra;
+* language check  — the same beto-compatible text as `alpha` vs `beto`
+  must differ in prosody the way the corpus defines the languages:
+  alpha's declination (F0 slope over the utterance) is steeper and its
+  predicted per-phone durations more variable than mora-timed beto's;
+* GST check       — the same text/speaker/language with a `bright` vs
+  `calm` style-reference wav must come out higher-F0 and shorter vs
+  lower-F0 and longer (the unsupervised style axis, reference
+  fs2/gst/model.py:202-257).
+
+All measurements run on the model's OUTPUT (vocoded wav through the native
+YIN tracker + predicted durations), not on its inputs, so they test the
+full conditioning path end to end.
+
+Usage:
+    python tools/eval_conditioned.py CORPUS_DIR CKPT [-v VOCODER.npz]
+                                     [--out report.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def _mean_f0_and_slope(wav: np.ndarray, sr: int) -> tuple[float, float]:
+    """Mean voiced F0 (Hz) and per-second F0 slope via the native YIN."""
+    from fastspeech2_lightning_tpu.preprocessing.f0 import estimate_f0
+
+    hop = 256
+    f0 = np.asarray(estimate_f0(np.asarray(wav, np.float32), sr, hop))
+    voiced = f0 > 0
+    if voiced.sum() < 8:
+        return float("nan"), float("nan")
+    t = np.flatnonzero(voiced) * hop / sr
+    f = f0[voiced]
+    slope = float(np.polyfit(t, f, 1)[0])
+    return float(f.mean()), slope
+
+
+def _styles_index(corpus: Path) -> dict[str, list[str]]:
+    """style -> [basename] from the styles.psv sidecar."""
+    out: dict[str, list[str]] = {}
+    lines = (corpus / "styles.psv").read_text().splitlines()
+    for row in lines[1:]:
+        basename, style = row.split("|")
+        out.setdefault(style, []).append(basename)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("corpus", type=Path)
+    ap.add_argument("ckpt", type=Path)
+    ap.add_argument("-v", "--vocoder", type=Path, default=None)
+    ap.add_argument("--out", type=Path, default=None)
+    args = ap.parse_args()
+
+    from fastspeech2_lightning_tpu.synthesis.api import Synthesizer
+
+    synth = Synthesizer.from_checkpoint(
+        args.ckpt, vocoder_path=args.vocoder
+    )
+    sr = synth.config.preprocessing.audio.output_sampling_rate
+    report: dict = {}
+
+    def run(text, **kw):
+        res = synth.synthesize([text], vocode=True, **kw)
+        wav = np.asarray(res.wavs[0])
+        dur_s = len(wav) / sr
+        mean_f0, slope = _mean_f0_and_slope(wav, sr)
+        return {"mean_f0_hz": mean_f0, "f0_slope_hz_per_s": slope,
+                "duration_s": dur_s}
+
+    # -- speaker: same alpha text, both speakers ---------------------------
+    text_a = "silver harbor under summer rain"
+    low = run(text_a, speaker="low", language="alpha")
+    high = run(text_a, speaker="high", language="alpha")
+    ratio = high["mean_f0_hz"] / low["mean_f0_hz"]
+    report["speaker"] = {
+        "text": text_a, "low": low, "high": high,
+        "f0_ratio_high_over_low": ratio,
+        # corpus design: low 108-146 Hz, high 186-236 Hz -> ratio ~1.66
+        "pass": bool(1.3 < ratio < 2.1),
+    }
+
+    # -- language: same beto-inventory text, both languages ----------------
+    text_b = "kamote nipasu hemi"  # k/t/p/m/n/s/h + aiueo only
+    alpha = run(text_b, speaker="low", language="alpha")
+    beto = run(text_b, speaker="low", language="beto")
+    report["language"] = {
+        "text": text_b, "alpha": alpha, "beto": beto,
+        # alpha's declination is 0.24 vs beto's 0.10 -> clearly steeper
+        # (more negative) F0 slope for alpha
+        "slope_diff_hz_per_s":
+            alpha["f0_slope_hz_per_s"] - beto["f0_slope_hz_per_s"],
+        "pass": bool(
+            alpha["f0_slope_hz_per_s"] < beto["f0_slope_hz_per_s"] - 1.0
+        ),
+    }
+
+    # -- GST: same text/speaker/language, bright vs calm reference ---------
+    styles = _styles_index(args.corpus)
+    wav_dir = args.corpus / "wavs"
+
+    def style_ref(style):
+        # a validation-half utterance of that style as reference audio
+        basename = styles[style][-1]
+        return wav_dir / f"{basename}.wav"
+
+    bright = run(text_a, speaker="low", language="alpha",
+                 style_reference=style_ref("bright"))
+    calm = run(text_a, speaker="low", language="alpha",
+               style_reference=style_ref("calm"))
+    report["gst"] = {
+        "text": text_a,
+        "bright": bright, "calm": calm,
+        "f0_ratio_bright_over_calm":
+            bright["mean_f0_hz"] / calm["mean_f0_hz"],
+        "duration_ratio_bright_over_calm":
+            bright["duration_s"] / calm["duration_s"],
+        # corpus design: bright f0 x1.22 rate x0.85, calm f0 x0.88 rate
+        # x1.18 -> expect f0 ratio > 1 and duration ratio < 1
+        "pass": bool(
+            bright["mean_f0_hz"] > calm["mean_f0_hz"] * 1.08
+            and bright["duration_s"] < calm["duration_s"] * 0.95
+        ),
+    }
+
+    report["all_pass"] = all(
+        report[k]["pass"] for k in ("speaker", "language", "gst")
+    )
+    text = json.dumps(report, indent=2)
+    print(text)
+    if args.out:
+        args.out.write_text(text + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,81 @@ class Seg:
     dur: float = 0.08         # seconds (before rate scaling / jitter)
 
 
+@dataclass(frozen=True)
+class Speaker:
+    """Synthetic voice: F0 register + vocal-tract (formant) scale.
+
+    Distinct speakers give the multispeaker embedding (reference
+    fs2/model.py:131-140) something real to learn: the same text rendered
+    by `high` sits ~1.6x above `low` in F0 and ~17% higher in every
+    formant (a shorter vocal tract), so speaker identity is audible and
+    measurable in the output."""
+
+    name: str
+    f0_lo: float
+    f0_hi: float
+    formant_scale: float
+
+
+SPEAKERS: dict[str, Speaker] = {
+    "default": Speaker("default", 115.0, 165.0, 1.0),
+    "low": Speaker("low", 108.0, 146.0, 1.0),
+    "high": Speaker("high", 186.0, 236.0, 1.17),
+}
+
+
+@dataclass(frozen=True)
+class Language:
+    """Synthetic language: its own lexicon (symbol inventory subset) and
+    its own prosody. `beto` is mora-timed-like — near-uniform segment
+    durations, flatter declination, smaller accents — so the language
+    embedding (reference fs2/model.py:142-151) carries prosodic signal
+    beyond what the symbol identities already encode."""
+
+    name: str
+    words: tuple[str, ...]
+    rate_lo: float
+    rate_hi: float
+    jitter_lo: float
+    jitter_hi: float
+    declination: float  # F0 fall over the utterance (fraction of base)
+    accent_lo: float
+    accent_hi: float
+
+
+def _cv_words(n: int = 110) -> tuple[str, ...]:
+    """Deterministic CV-syllable lexicon for the `beto` language: 7
+    consonants x 5 vowels, 2-4 syllables — a 12-letter inventory, disjoint
+    phonotactics from the English-like `alpha` word list."""
+    rng = np.random.default_rng(987654321)
+    cons, vows = "ktpmnsh", "aiueo"
+    out: list[str] = []
+    seen: set[str] = set()
+    while len(out) < n:
+        k = int(rng.integers(2, 5))
+        w = "".join(
+            cons[int(rng.integers(len(cons)))] + vows[int(rng.integers(len(vows)))]
+            for _ in range(k)
+        )
+        if w not in seen:
+            seen.add(w)
+            out.append(w)
+    return tuple(out)
+
+
+# LANGUAGES defined after WORDS below.
+
+# GST style axes — deliberately NOT a filelist column: the style encoder
+# (reference fs2/gst/model.py:103-257) must discover them unsupervised
+# from the reference mel. Recorded in a styles.psv sidecar only so the
+# post-training evaluation can pick style-reference audio per style.
+STYLES: dict[str, dict[str, float]] = {
+    "neutral": dict(f0_mul=1.0, rate_mul=1.0, accent_mul=1.0),
+    "bright": dict(f0_mul=1.22, rate_mul=0.85, accent_mul=1.9),
+    "calm": dict(f0_mul=0.88, rate_mul=1.18, accent_mul=0.45),
+}
+
+
 _V = dict(voiced=1.0, amp=1.0, dur=0.125)
 # fmt: off
 CHARS: dict[str, tuple[Seg, ...]] = {
@@ -116,6 +191,18 @@ WORDS = [
     "bright", "deep", "cold", "warm", "wide", "small", "old", "new",
 ]
 
+LANGUAGES: dict[str, Language] = {
+    "default": Language(
+        "default", tuple(WORDS), 0.88, 1.15, 0.88, 1.12, 0.24, -0.10, 0.14
+    ),
+    "alpha": Language(
+        "alpha", tuple(WORDS), 0.88, 1.15, 0.88, 1.12, 0.24, -0.10, 0.14
+    ),
+    "beto": Language(
+        "beto", _cv_words(), 0.94, 1.08, 0.97, 1.03, 0.10, -0.04, 0.06
+    ),
+}
+
 
 def _resonator(f: np.ndarray, bw: float):
     """Batched Klatt second-order resonator coefficients per block."""
@@ -134,11 +221,17 @@ _BANDS = {
 }
 
 
-def _segments(text: str, rng: np.random.Generator, rate: float) -> list[Seg]:
+def _segments(
+    text: str,
+    rng: np.random.Generator,
+    rate: float,
+    jitter_lo: float = 0.88,
+    jitter_hi: float = 1.12,
+) -> list[Seg]:
     segs: list[Seg] = [Seg(amp=0.0, dur=0.1)]  # leading silence
     for ch in text:
         for seg in CHARS.get(ch, CHARS[" "]):
-            jitter = float(rng.uniform(0.88, 1.12))
+            jitter = float(rng.uniform(jitter_lo, jitter_hi))
             segs.append(replace(seg, dur=seg.dur * rate * jitter))
     segs.append(Seg(amp=0.0, dur=0.12))  # trailing silence
     return segs
@@ -149,8 +242,16 @@ def _smooth(x: np.ndarray, w: int) -> np.ndarray:
     return np.convolve(np.pad(x, (w // 2, w - 1 - w // 2), mode="edge"), k, "valid")
 
 
-def synthesize(text: str, seed: int, return_tracks: bool = False):
-    """Render one utterance deterministically from (text, seed).
+def synthesize(
+    text: str,
+    seed: int,
+    return_tracks: bool = False,
+    speaker: str = "default",
+    language: str = "default",
+    style: str = "neutral",
+):
+    """Render one utterance deterministically from (text, seed, speaker,
+    language, style).
 
     With return_tracks=True also returns the analytic ground truth the
     synthesizer was driven with — per-sample F0 (Hz) and voicing gain —
@@ -159,11 +260,20 @@ def synthesize(text: str, seed: int, return_tracks: bool = False):
     stability) on speech-like signals. The reference gets this validation
     for free by depending on pyworld (SURVEY.md §2.3); pyworld is not in
     this image, so the analytically-known contour is the strongest
-    available substitute."""
+    available substitute.
+
+    Conditioning (defaults reproduce the pre-conditioned corpus exactly):
+    speaker sets the F0 register and a global formant scale; language sets
+    the rhythm (rate/jitter ranges) and intonation (declination/accent
+    spans); style multiplies F0 / rate / accent on top — the unsupervised
+    axis the GST module must discover from the mel."""
+    spk = SPEAKERS[speaker]
+    lang = LANGUAGES[language]
+    sty = STYLES[style]
     rng = np.random.default_rng(seed)
-    rate = float(rng.uniform(0.88, 1.15))  # speaking rate
-    f0_base = float(rng.uniform(115.0, 165.0))
-    segs = _segments(text, rng, rate)
+    rate = float(rng.uniform(lang.rate_lo, lang.rate_hi)) * sty["rate_mul"]
+    f0_base = float(rng.uniform(spk.f0_lo, spk.f0_hi)) * sty["f0_mul"]
+    segs = _segments(text, rng, rate, lang.jitter_lo, lang.jitter_hi)
 
     # per-block target tracks
     nblocks_per = [max(1, int(round(s.dur * SR / BLOCK))) for s in segs]
@@ -173,14 +283,18 @@ def synthesize(text: str, seed: int, return_tracks: bool = False):
     band_idx = {"none": 0, "s": 1, "sh": 2, "f": 3}
     accent = np.zeros(nb)
     pos = 0
+    fs = spk.formant_scale
     for s, n in zip(segs, nblocks_per):
         sl = slice(pos, pos + n)
-        tr["f1"][sl], tr["f2"][sl], tr["f3"][sl] = s.f1, s.f2, s.f3
+        tr["f1"][sl], tr["f2"][sl], tr["f3"][sl] = s.f1 * fs, s.f2 * fs, s.f3 * fs
         tr["v"][sl], tr["asp"][sl], tr["fric"][sl] = s.voiced, s.aspir, s.fric
         tr["amp"][sl] = s.amp
         band_of_block[sl] = band_idx[s.band]
         if s.voiced >= 1.0:  # full vowels carry pitch accents
-            accent[sl] = rng.uniform(-0.1, 0.14)
+            accent[sl] = rng.uniform(
+                lang.accent_lo * sty["accent_mul"],
+                lang.accent_hi * sty["accent_mul"],
+            )
         pos += n
 
     # coarticulation: smooth formants/gains over ~30 ms
@@ -192,7 +306,13 @@ def synthesize(text: str, seed: int, return_tracks: bool = False):
     # F0: declination + accents + slow wander + sentence-final fall
     t01 = np.linspace(0, 1, nb)
     wander = _smooth(rng.standard_normal(nb), 25) * 0.02
-    f0 = f0_base * (1.12 - 0.24 * t01) * (1 + _smooth(accent, 9)) * (1 + wander)
+    decl = lang.declination
+    f0 = (
+        f0_base
+        * (1.0 + decl / 2.0 - decl * t01)
+        * (1 + _smooth(accent, 9))
+        * (1 + wander)
+    )
     f0[-max(nb // 10, 1):] *= np.linspace(1.0, 0.82, max(nb // 10, 1))
 
     n = nb * BLOCK
@@ -247,13 +367,15 @@ def synthesize(text: str, seed: int, return_tracks: bool = False):
     return wav
 
 
-def make_texts(n: int, rng: np.random.Generator) -> list[str]:
+def make_texts(
+    n: int, rng: np.random.Generator, words: list[str] | tuple[str, ...] = WORDS
+) -> list[str]:
     texts = []
     seen = set()
     while len(texts) < n:
         k = int(rng.integers(3, 9))
-        words = [WORDS[int(rng.integers(len(WORDS)))] for _ in range(k)]
-        t = " ".join(words)
+        picked = [words[int(rng.integers(len(words)))] for _ in range(k)]
+        t = " ".join(picked)
         if t in seen:
             continue
         seen.add(t)
@@ -267,26 +389,78 @@ def main() -> None:
     ap.add_argument("--n-train", type=int, default=320)
     ap.add_argument("--n-val", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--conditioned",
+        action="store_true",
+        help="2 speakers (low/high register) x 2 languages (alpha/beto "
+        "lexicons+prosody) x 3 unsupervised styles; config enables "
+        "multispeaker + multilingual + GST",
+    )
     args = ap.parse_args()
 
     ws = args.outdir
     (ws / "wavs").mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(args.seed)
-    texts = make_texts(args.n_train + args.n_val, rng)
+    n_total = args.n_train + args.n_val
     rows = []
+    style_rows = []
     total_s = 0.0
-    for i, text in enumerate(texts):
-        wav = synthesize(text, seed=args.seed * 1_000_003 + i)
-        total_s += len(wav) / SR
-        save_wav(ws / "wavs" / f"utt{i:04d}.wav", wav, SR)
-        rows.append({"basename": f"utt{i:04d}", "text": text,
-                     "speaker": "default", "language": "default"})
+    if args.conditioned:
+        speakers = ["low", "high"]
+        languages = ["alpha", "beto"]
+        style_names = list(STYLES)
+        # per-language text pools (disjoint lexicons/phonotactics)
+        texts_by_lang = {
+            ln: make_texts(
+                (n_total + len(languages) - 1) // len(languages),
+                rng,
+                LANGUAGES[ln].words,
+            )
+            for ln in languages
+        }
+        cells = []
+        for i in range(n_total):
+            spk = speakers[i % 2]
+            ln = languages[(i // 2) % 2]
+            sty = style_names[int(rng.integers(len(style_names)))]
+            cells.append((spk, ln, sty))
+        counters = {ln: 0 for ln in languages}
+        for i, (spk, ln, sty) in enumerate(cells):
+            text = texts_by_lang[ln][counters[ln]]
+            counters[ln] += 1
+            wav = synthesize(
+                text, seed=args.seed * 1_000_003 + i,
+                speaker=spk, language=ln, style=sty,
+            )
+            total_s += len(wav) / SR
+            save_wav(ws / "wavs" / f"utt{i:04d}.wav", wav, SR)
+            rows.append({"basename": f"utt{i:04d}", "text": text,
+                         "speaker": spk, "language": ln})
+            style_rows.append({"basename": f"utt{i:04d}", "style": sty})
+        # styles are NOT in the model filelist — GST must discover them;
+        # the sidecar lets eval pick style-reference audio per style
+        write_filelist(style_rows, ws / "styles.psv")
+    else:
+        texts = make_texts(n_total, rng)
+        for i, text in enumerate(texts):
+            wav = synthesize(text, seed=args.seed * 1_000_003 + i)
+            total_s += len(wav) / SR
+            save_wav(ws / "wavs" / f"utt{i:04d}.wav", wav, SR)
+            rows.append({"basename": f"utt{i:04d}", "text": text,
+                         "speaker": "default", "language": "default"})
     write_filelist(rows, ws / "filelist.psv")
 
     import yaml
 
+    model_cfg: dict = {"learn_alignment": True}
+    if args.conditioned:
+        model_cfg.update(
+            multispeaker=True,
+            multilingual=True,
+            use_global_style_token_module=True,
+        )
     config = {
-        "model": {"learn_alignment": True},
+        "model": model_cfg,
         "preprocessing": {
             "save_dir": str(ws / "preprocessed"),
             "source_data": [{"data_dir": str(ws / "wavs"),
