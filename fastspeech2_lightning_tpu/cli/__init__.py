@@ -319,11 +319,23 @@ def synthesize(
     vocoder_global_step = 0
     output_hop = None
     if vocoder_path is not None:
-        from ..models.hifigan import load_vocoder_checkpoint
-
-        vocoder, vocoder_global_step, output_hop = load_vocoder_checkpoint(
-            Path(vocoder_path), precision=vocoder_precision
+        from ..synthesis.griffin_lim import (
+            GriffinLimVocoder,
+            is_griffin_lim_path,
         )
+
+        if is_griffin_lim_path(vocoder_path):
+            # `-v griffin-lim`: trainless classical fallback (no ckpt)
+            vocoder = GriffinLimVocoder(config.preprocessing.audio)
+            output_hop = vocoder.hop
+        else:
+            from ..models.hifigan import load_vocoder_checkpoint
+
+            vocoder, vocoder_global_step, output_hop = (
+                load_vocoder_checkpoint(
+                    Path(vocoder_path), precision=vocoder_precision
+                )
+            )
 
     from ..config import (
         DatasetTextRepresentation,

@@ -97,7 +97,13 @@ class Synthesizer:
 
             mesh = make_mesh(n_devices=data_parallel, model_parallel=1)
         vocoder = None
-        if vocoder_path is not None:
+        from .griffin_lim import GriffinLimVocoder, is_griffin_lim_path
+
+        if vocoder_path is not None and is_griffin_lim_path(vocoder_path):
+            # trainless fallback: classical phase recovery on the predicted
+            # log-mels (no checkpoint; host-side NumPy)
+            vocoder = GriffinLimVocoder(config.preprocessing.audio)
+        elif vocoder_path is not None:
             if mesh is not None:
                 # mesh-aware vocoder: plain data parallelism when the batch
                 # fills the mesh, receptive-field-window sequence parallelism
