@@ -70,6 +70,8 @@ def main() -> None:
     ap.add_argument("ckpt", type=Path)
     ap.add_argument("-v", "--vocoder", type=Path, default=None)
     ap.add_argument("--out", type=Path, default=None)
+    ap.add_argument("--save-wavs", type=Path, default=None,
+                    help="directory for one wav per measured condition")
     args = ap.parse_args()
 
     from fastspeech2_lightning_tpu.synthesis.api import Synthesizer
@@ -80,9 +82,16 @@ def main() -> None:
     sr = synth.config.preprocessing.audio.output_sampling_rate
     report: dict = {}
 
-    def run(text, **kw):
+    def run(text, tag=None, **kw):
         res = synth.synthesize([text], vocode=True, **kw)
         wav = np.asarray(res.wavs[0])
+        if args.save_wavs and tag:
+            from fastspeech2_lightning_tpu.preprocessing.pipeline import (
+                save_wav,
+            )
+
+            args.save_wavs.mkdir(parents=True, exist_ok=True)
+            save_wav(args.save_wavs / f"{tag}.wav", wav, sr)
         dur_s = len(wav) / sr
         mean_f0, slope = _mean_f0_and_slope(wav, sr)
         return {"mean_f0_hz": mean_f0, "f0_slope_hz_per_s": slope,
@@ -90,8 +99,8 @@ def main() -> None:
 
     # -- speaker: same alpha text, both speakers ---------------------------
     text_a = "silver harbor under summer rain"
-    low = run(text_a, speaker="low", language="alpha")
-    high = run(text_a, speaker="high", language="alpha")
+    low = run(text_a, tag="speaker_low", speaker="low", language="alpha")
+    high = run(text_a, tag="speaker_high", speaker="high", language="alpha")
     ratio = high["mean_f0_hz"] / low["mean_f0_hz"]
     report["speaker"] = {
         "text": text_a, "low": low, "high": high,
@@ -102,8 +111,8 @@ def main() -> None:
 
     # -- language: same beto-inventory text, both languages ----------------
     text_b = "kamote nipasu hemi"  # k/t/p/m/n/s/h + aiueo only
-    alpha = run(text_b, speaker="low", language="alpha")
-    beto = run(text_b, speaker="low", language="beto")
+    alpha = run(text_b, tag="lang_alpha", speaker="low", language="alpha")
+    beto = run(text_b, tag="lang_beto", speaker="low", language="beto")
     report["language"] = {
         "text": text_b, "alpha": alpha, "beto": beto,
         # alpha's declination is 0.24 vs beto's 0.10 -> clearly steeper
@@ -124,9 +133,9 @@ def main() -> None:
         basename = styles[style][-1]
         return wav_dir / f"{basename}.wav"
 
-    bright = run(text_a, speaker="low", language="alpha",
+    bright = run(text_a, tag="style_bright", speaker="low", language="alpha",
                  style_reference=style_ref("bright"))
-    calm = run(text_a, speaker="low", language="alpha",
+    calm = run(text_a, tag="style_calm", speaker="low", language="alpha",
                style_reference=style_ref("calm"))
     report["gst"] = {
         "text": text_a,
