@@ -78,13 +78,20 @@ def save_checkpoint(
     ckpt_dir = Path(ckpt_dir)
     step = int(state.step)
     path = ckpt_dir / f"step={step}"
+    # atomic publish: everything lands in step=N.tmp and is renamed to
+    # step=N only after meta.json is on disk. A kill mid-save (observed
+    # live when a stall watchdog escalated SIGTERM->SIGKILL during the
+    # preemption checkpoint) must not leave a step dir that
+    # latest_checkpoint would pick and load_checkpoint crash on.
+    tmp = ckpt_dir / f"step={step}.tmp"
     # multi-host: every process calls this (orbax's save is collective);
     # plain filesystem work and the JSON sidecar are process-0-only
     is_main = jax.process_index() == 0
     if is_main:
-        if path.exists():
-            shutil.rmtree(path)
-        path.mkdir(parents=True)
+        for p in (path, tmp):
+            if p.exists():
+                shutil.rmtree(p)
+        tmp.mkdir(parents=True)
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
@@ -101,7 +108,7 @@ def save_checkpoint(
     if getattr(state, "ema_params", None) is not None:
         arrays["ema_params"] = jax.device_get(state.ema_params)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save((path / "arrays").resolve(), arrays)
+    ckptr.save((tmp / "arrays").resolve(), arrays)
     ckptr.wait_until_finished()
 
     meta = {
@@ -127,8 +134,15 @@ def save_checkpoint(
         "optimizer_format": _opt_format(state.opt_state),
     }
     if is_main:
-        with open(path / "meta.json", "w", encoding="utf8") as f:
+        with open(tmp / "meta.json", "w", encoding="utf8") as f:
             json.dump(meta, f, indent=2)
+        tmp.rename(path)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        # non-main processes must not observe (or return) the path before
+        # process 0 publishes it
+        multihost_utils.sync_global_devices(f"fs2t_save_post_{step}")
     return path
 
 
@@ -230,9 +244,13 @@ def latest_checkpoint(ckpt_dir: Path) -> Optional[Path]:
     steps = []
     for p in ckpt_dir.glob("step=*"):
         try:
-            steps.append((int(p.name.split("=")[1]), p))
-        except ValueError:
+            n = int(p.name.split("=")[1])
+        except ValueError:  # step=N.tmp in-progress dirs
             continue
+        if not (p / "meta.json").exists():
+            # pre-atomic-publish half-written dir: unloadable, skip it
+            continue
+        steps.append((n, p))
     return max(steps)[1] if steps else None
 
 

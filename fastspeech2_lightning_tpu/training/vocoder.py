@@ -344,16 +344,22 @@ def save_vocoder_checkpoint(
     ckpt_dir = Path(ckpt_dir)
     step = int(jax.device_get(state["step"]))
     path = ckpt_dir / f"step={step}"
-    if path.exists():
-        shutil.rmtree(path)
-    path.mkdir(parents=True)
+    # atomic publish: write into step=N.tmp, rename only once meta.json
+    # is on disk. A SIGKILL mid-save (e.g. a stall-watchdog escalating
+    # after SIGTERM) must never leave a step=N/ that resume would pick
+    # and crash on (observed live: step dir with arrays but no meta).
+    tmp = ckpt_dir / f"step={step}.tmp"
+    for p in (path, tmp):
+        if p.exists():
+            shutil.rmtree(p)
+    tmp.mkdir(parents=True)
     host = jax.device_get(
         {k: state[k] for k in ("gen", "disc", "g_opt", "d_opt")}
     )
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save((path / "arrays").resolve(), host)
+    ckptr.save((tmp / "arrays").resolve(), host)
     ckptr.wait_until_finished()
-    (path / "meta.json").write_text(
+    (tmp / "meta.json").write_text(
         json.dumps(
             {
                 "model_info": {"name": "HiFiGAN", "version": "1.0"},
@@ -363,6 +369,7 @@ def save_vocoder_checkpoint(
             indent=2,
         )
     )
+    tmp.rename(path)
     np.savez(
         ckpt_dir / "vocoder.npz",
         params=np.array(host["gen"], dtype=object),
@@ -372,7 +379,10 @@ def save_vocoder_checkpoint(
     # keep the newest `keep` step dirs (GAN training has no single monotone
     # val metric; recency is the standard retention policy here)
     steps = sorted(
-        (p for p in ckpt_dir.glob("step=*")),
+        (
+            p for p in ckpt_dir.glob("step=*")
+            if p.name.split("=")[1].isdigit()
+        ),
         key=lambda p: int(p.name.split("=")[1]),
     )
     for p in steps[:-keep]:
@@ -480,8 +490,16 @@ def train_vocoder(
 
         state = jax.device_put(state, NamedSharding(mesh, P()))
     if resume:
+        # complete checkpoints only: a .tmp dir (or one missing meta.json,
+        # from a pre-atomic-publish save killed mid-write) must not be
+        # picked as the resume point
         existing = sorted(
-            ckpt_dir.glob("step=*"), key=lambda p: int(p.name.split("=")[1])
+            (
+                p for p in ckpt_dir.glob("step=*")
+                if p.name.split("=")[1].isdigit()
+                and (p / "meta.json").exists()
+            ),
+            key=lambda p: int(p.name.split("=")[1]),
         )
         if existing and finetune_from is not None:
             # resuming would silently replace the just-loaded finetune
