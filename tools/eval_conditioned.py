@@ -40,7 +40,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def _mean_f0_and_slope(wav: np.ndarray, sr: int) -> tuple[float, float]:
-    """Mean voiced F0 (Hz) and per-second F0 slope via the native YIN."""
+    """Central voiced F0 (Hz) and per-second F0 slope via the native YIN.
+
+    Uses the median and an octave-trimmed slope fit: phase-recovery
+    vocoders (-v griffin-lim) leave enough phase noise that YIN
+    octave-doubles a minority of frames (measured: p90 613 Hz on audio
+    whose true F0 is ~130-240), which wrecks a plain mean while the
+    median still matches the clean-audio value to a few Hz.
+    """
     from fastspeech2_lightning_tpu.preprocessing.f0 import estimate_f0
 
     hop = 256
@@ -50,8 +57,11 @@ def _mean_f0_and_slope(wav: np.ndarray, sr: int) -> tuple[float, float]:
         return float("nan"), float("nan")
     t = np.flatnonzero(voiced) * hop / sr
     f = f0[voiced]
-    slope = float(np.polyfit(t, f, 1)[0])
-    return float(f.mean()), slope
+    center = float(np.median(f))
+    keep = (f > 0.6 * center) & (f < 1.6 * center)  # drop octave jumps
+    slope = float(np.polyfit(t[keep], f[keep], 1)[0]) if keep.sum() >= 8 \
+        else float(np.polyfit(t, f, 1)[0])
+    return center, slope
 
 
 def _styles_index(corpus: Path) -> dict[str, list[str]]:
@@ -94,14 +104,14 @@ def main() -> None:
             save_wav(args.save_wavs / f"{tag}.wav", wav, sr)
         dur_s = len(wav) / sr
         mean_f0, slope = _mean_f0_and_slope(wav, sr)
-        return {"mean_f0_hz": mean_f0, "f0_slope_hz_per_s": slope,
+        return {"f0_hz": mean_f0, "f0_slope_hz_per_s": slope,
                 "duration_s": dur_s}
 
     # -- speaker: same alpha text, both speakers ---------------------------
     text_a = "silver harbor under summer rain"
     low = run(text_a, tag="speaker_low", speaker="low", language="alpha")
     high = run(text_a, tag="speaker_high", speaker="high", language="alpha")
-    ratio = high["mean_f0_hz"] / low["mean_f0_hz"]
+    ratio = high["f0_hz"] / low["f0_hz"]
     report["speaker"] = {
         "text": text_a, "low": low, "high": high,
         "f0_ratio_high_over_low": ratio,
@@ -109,19 +119,47 @@ def main() -> None:
         "pass": bool(1.3 < ratio < 2.1),
     }
 
-    # -- language: same beto-inventory text, both languages ----------------
-    text_b = "kamote nipasu hemi"  # k/t/p/m/n/s/h + aiueo only
-    alpha = run(text_b, tag="lang_alpha", speaker="low", language="alpha")
-    beto = run(text_b, tag="lang_beto", speaker="low", language="beto")
+    # -- language: same beto-inventory texts, both languages ---------------
+    # Declination is the language axis the model can actually learn from
+    # this corpus (alpha 0.24 vs beto 0.10 of base F0; the per-segment
+    # duration jitter is random per utterance, so duration statistics
+    # average out). Measured on ground truth with this same estimator the
+    # normalized slope separates at -0.096 (alpha) vs -0.055 (beto) with
+    # per-utterance std ~0.03, so one utterance is ~1σ — average several
+    # texts (model outputs are deterministic; residual noise is YIN's).
+    texts_b = [  # k/t/p/m/n/s/h + aiueo only -> valid in BOTH lexicons;
+        # long sentences: declination-slope estimates stabilize with
+        # utterance length (the fall is spread over the whole contour)
+        "kamote nipasu hemi tasuno pikema suhona",
+        "mokati sunema hipo natuke semina kotapu",
+        "natume kosehi pima hotesa nukima sepato",
+        "tesuka minoha peta komusi hanote pisemu",
+        "homina ketupa sei matoki nesupa timohe",
+    ]
+
+    def norm_slope(r):
+        return r["f0_slope_hz_per_s"] / r["f0_hz"]
+
+    alpha_runs = [
+        run(t, tag=f"lang_alpha_{i}" if i == 0 else None,
+            speaker="low", language="alpha")
+        for i, t in enumerate(texts_b)
+    ]
+    beto_runs = [
+        run(t, tag=f"lang_beto_{i}" if i == 0 else None,
+            speaker="low", language="beto")
+        for i, t in enumerate(texts_b)
+    ]
+    alpha_slope = float(np.mean([norm_slope(r) for r in alpha_runs]))
+    beto_slope = float(np.mean([norm_slope(r) for r in beto_runs]))
     report["language"] = {
-        "text": text_b, "alpha": alpha, "beto": beto,
-        # alpha's declination is 0.24 vs beto's 0.10 -> clearly steeper
-        # (more negative) F0 slope for alpha
-        "slope_diff_hz_per_s":
-            alpha["f0_slope_hz_per_s"] - beto["f0_slope_hz_per_s"],
-        "pass": bool(
-            alpha["f0_slope_hz_per_s"] < beto["f0_slope_hz_per_s"] - 1.0
-        ),
+        "texts": texts_b,
+        "alpha": {"norm_slope_mean": alpha_slope, "runs": alpha_runs},
+        "beto": {"norm_slope_mean": beto_slope, "runs": beto_runs},
+        # ground-truth separation is 0.041; require the model to show at
+        # least ~1/3 of it in the right direction
+        "norm_slope_diff": alpha_slope - beto_slope,
+        "pass": bool(alpha_slope < beto_slope - 0.013),
     }
 
     # -- GST: same text/speaker/language, bright vs calm reference ---------
@@ -141,13 +179,13 @@ def main() -> None:
         "text": text_a,
         "bright": bright, "calm": calm,
         "f0_ratio_bright_over_calm":
-            bright["mean_f0_hz"] / calm["mean_f0_hz"],
+            bright["f0_hz"] / calm["f0_hz"],
         "duration_ratio_bright_over_calm":
             bright["duration_s"] / calm["duration_s"],
         # corpus design: bright f0 x1.22 rate x0.85, calm f0 x0.88 rate
         # x1.18 -> expect f0 ratio > 1 and duration ratio < 1
         "pass": bool(
-            bright["mean_f0_hz"] > calm["mean_f0_hz"] * 1.08
+            bright["f0_hz"] > calm["f0_hz"] * 1.08
             and bright["duration_s"] < calm["duration_s"] * 0.95
         ),
     }
